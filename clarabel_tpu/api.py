@@ -1,0 +1,217 @@
+"""Native solver API: Solver / setup / solve.
+
+Mirrors the reference's user-facing API (`Solver(P,q,A,b,cones[,settings])`,
+`setup!`, `solve!`, `get_solution`, `get_info`; reference:
+src/solver.jl:5-29,75,189,532-534) with a host-side orchestration class
+around a single jitted device computation.  Setup lowers the problem into a
+static plan (cone layout, dimensions, presolve maps); solve dispatches one
+XLA computation that runs the entire IPM on-chip.
+"""
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+from .settings import Settings
+from .statuscodes import SolverStatus, status_string, status_is_infeasible
+from .cones.api import SupportedCone, nvars, cones_collapse
+from .cones.layout import ConeLayout
+from .ipm.loop import build_solve
+from . import presolver as presolve_mod
+
+
+@dataclasses.dataclass
+class DefaultSolution:
+    """reference: src/types.jl:279-311"""
+    x: np.ndarray
+    z: np.ndarray
+    s: np.ndarray
+    status: SolverStatus
+    obj_val: float
+    obj_val_dual: float
+    solve_time: float
+    iterations: int
+    r_prim: float
+    r_dual: float
+
+    def __repr__(self):
+        return (
+            f">>> clarabel_tpu - Results\nStatus: {status_string(self.status)}\n"
+            f"Iterations: {self.iterations}\nObjective: {self.obj_val:#.4g}\n"
+            f"Solve time: {self.solve_time:.3e}s"
+        )
+
+
+@dataclasses.dataclass
+class DefaultInfo:
+    """Scalar iteration metrics (reference: src/types.jl:198-251)."""
+    mu: float = np.nan
+    sigma: float = np.nan
+    step_length: float = np.nan
+    iterations: int = 0
+    cost_primal: float = np.nan
+    cost_dual: float = np.nan
+    res_primal: float = np.nan
+    res_dual: float = np.nan
+    gap_abs: float = np.nan
+    gap_rel: float = np.nan
+    ktratio: float = np.nan
+    solve_time: float = 0.0
+    status: SolverStatus = SolverStatus.UNSOLVED
+
+
+def _to_dense(M) -> np.ndarray:
+    if sp.issparse(M):
+        return np.asarray(M.todense())
+    return np.asarray(M)
+
+
+def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
+    """The API consumes only the upper-triangular part of P (matching the
+    reference, src/solver.jl:48) and works with the full symmetric matrix
+    internally."""
+    U = np.triu(P)
+    return U + U.T - np.diag(np.diag(U))
+
+
+# compiled-solver cache keyed by problem structure
+_SOLVE_CACHE: dict = {}
+
+
+class Solver:
+    """Conic interior-point solver.
+
+        solver = Solver(P, q, A, b, cones, settings)
+        solution = solver.solve()
+
+    solves  min ½x'Px + q'x  s.t. Ax + s = b, s ∈ K.
+    """
+
+    def __init__(self, P=None, q=None, A=None, b=None,
+                 cones: Optional[Sequence[SupportedCone]] = None,
+                 settings: Optional[Settings] = None, **kwargs):
+        self.settings = settings if settings is not None else Settings()
+        if kwargs:
+            self.settings = dataclasses.replace(self.settings, **kwargs)
+        self.solution: Optional[DefaultSolution] = None
+        self.info = DefaultInfo()
+        self._setup_done = False
+        if P is not None:
+            self.setup(P, q, A, b, cones)
+
+    # ------------------------------------------------------------------
+    def setup(self, P, q, A, b, cones: Sequence[SupportedCone]):
+        """reference: src/solver.jl:89-153"""
+        t0 = time.perf_counter()
+        from . import get_infinity
+
+        q = np.asarray(q, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        P = _to_dense(P).astype(np.float64)
+        A = _to_dense(A).astype(np.float64)
+
+        # dimension checks (reference: src/solver.jl:157-169)
+        n, m = q.shape[0], b.shape[0]
+        if A.shape != (m, n):
+            raise ValueError("A and b or q have incompatible dimensions")
+        if P.shape != (n, n):
+            raise ValueError("P is not n-by-n")
+        pdim = sum(nvars(c) for c in cones)
+        if pdim != m:
+            raise ValueError(
+                "Constraint dimensions inconsistent with size of cones"
+            )
+
+        # cone collapsing (reference: cone_api.jl:96-153)
+        cones = cones_collapse(list(cones))
+
+        # cap b at +infinity (reference: src/problemdata.jl:~60 b=min(b,INF))
+        infinity = get_infinity()
+        b = np.minimum(b, infinity)
+
+        # presolve (reference: src/presolver.jl)
+        self.presolver = None
+        if self.settings.presolve_enable:
+            pres = presolve_mod.try_presolve(A, b, cones, infinity)
+            if pres is not None:
+                self.presolver = pres
+                A, b = presolve_mod.presolve_reduce(pres, A, b)
+                cones = pres.reduced_cones
+                m = b.shape[0]
+
+        self._P_full = _symmetrize_triu(P)
+        self._q = q
+        self._A = A
+        self._b = b
+        self.n, self.m = n, m
+        self.cones = list(cones)
+        self.layout = ConeLayout(self.cones)
+        if self.layout.m != m:
+            raise ValueError("cone dimensions do not match constraint count")
+        p_nonzero = bool(np.any(self._P_full != 0))
+        self._p_nonzero = p_nonzero
+
+        cache_key = (self.layout.key, n, p_nonzero,
+                     dataclasses.astuple(self.settings))
+        if cache_key not in _SOLVE_CACHE:
+            import jax
+            _SOLVE_CACHE[cache_key] = jax.jit(
+                build_solve(self.layout, self.settings, n, p_nonzero)
+            )
+        self._solve_fn = _SOLVE_CACHE[cache_key]
+
+        self._setup_time = time.perf_counter() - t0
+        self._setup_done = True
+        return self
+
+    # ------------------------------------------------------------------
+    def solve(self) -> DefaultSolution:
+        """reference: src/solver.jl:189-380"""
+        if not self._setup_done:
+            raise RuntimeError("call setup() before solve()")
+        t0 = time.perf_counter()
+        out = self._solve_fn(self._P_full, self._q, self._A, self._b)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        solve_time = time.perf_counter() - t0
+
+        status = SolverStatus(int(out["status"]))
+        x = out["x"]
+        z, s = out["z"], out["s"]
+
+        # reverse presolve (reference: src/presolver.jl:85-107)
+        if self.presolver is not None:
+            z, s = presolve_mod.presolve_reverse(self.presolver, z, s)
+
+        self.solution = DefaultSolution(
+            x=x, z=z, s=s, status=status,
+            obj_val=float(out["obj_val"]),
+            obj_val_dual=float(out["obj_val_dual"]),
+            solve_time=solve_time,
+            iterations=int(out["iterations"]),
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+        )
+        self.info = DefaultInfo(
+            mu=float(out["mu"]), sigma=float(out["sigma"]),
+            step_length=float(out["step_length"]),
+            iterations=int(out["iterations"]),
+            cost_primal=float(out["obj_val"]),
+            cost_dual=float(out["obj_val_dual"]),
+            res_primal=float(out["r_prim"]), res_dual=float(out["r_dual"]),
+            gap_abs=float(out["gap_abs"]), gap_rel=float(out["gap_rel"]),
+            ktratio=float(out["ktratio"]),
+            solve_time=solve_time, status=status,
+        )
+        if self.settings.verbose:
+            print(self.solution)
+        return self.solution
+
+    # ------------------------------------------------------------------
+    def get_solution(self) -> Optional[DefaultSolution]:
+        return self.solution
+
+    def get_info(self) -> DefaultInfo:
+        return self.info

@@ -1,0 +1,540 @@
+"""Batched cone operations over a static ConeLayout.
+
+Each cone family implements the ~20-operation interface of the reference
+(reference: src/cones/coneops_defaults.jl:11-314) as *pure functions over
+batched group arrays*: a group of `c` cones of width `d` is processed as a
+single (c, d) tensor op, replacing the reference's per-cone loop +
+`@conedispatch` jump table (reference: src/cones/cone_dispatch.jl:34-47).
+
+Conventions:
+* full conic vectors (z, s, dz, ds, ...) have length m and are gathered
+  per-group with the layout's static index arrays;
+* scaling state is a pytree dict {group_name: {field: array}};
+* all functions are jit/vmap-safe: no data-dependent shapes or branching.
+
+Cone math provenance:
+* zero cone       — reference: src/cones/coneops_zerocone.jl
+* nonnegative     — reference: src/cones/coneops_nncone.jl
+* second order    — reference: src/cones/coneops_socone.jl
+* symmetric glue  — reference: src/cones/coneops_symmetric_common.jl
+* composite fanout— reference: src/cones/coneops_compositecone.jl
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layout import ConeLayout, ConeGroup
+from . import psd as psd_ops
+from . import nonsymmetric as nonsym_ops
+
+# large-but-finite stand-in for floatmax in step length ratios
+_BIG = 1e300
+
+
+def _gather(vec, g: ConeGroup):
+    return vec[g.idx]
+
+
+def _scatter(out, g: ConeGroup, vals):
+    return out.at[g.idx].set(vals)
+
+
+# ---------------------------------------------------------------------------
+# second-order cone helpers (batched over leading cone axis)
+# ---------------------------------------------------------------------------
+
+def _soc_residual(Z):
+    """(z0 - ||z1||)(z0 + ||z1||), batched.  reference: coneops_socone.jl:415-419"""
+    z1n = jnp.linalg.norm(Z[:, 1:], axis=1)
+    return (Z[:, 0] - z1n) * (Z[:, 0] + z1n)
+
+
+def _sqrt_soc_residual(Z):
+    res = _soc_residual(Z)
+    return jnp.where(res > 0.0, jnp.sqrt(jnp.maximum(res, 0.0)), 0.0)
+
+
+def _soc_mul_W(w, eta, X):
+    """y = W x (symmetric), ECOS fast product.  reference: coneops_socone.jl:313-333"""
+    zeta = jnp.sum(w[:, 1:] * X[:, 1:], axis=1)
+    c = X[:, 0] + zeta / (1.0 + w[:, 0])
+    y0 = eta * (w[:, 0] * X[:, 0] + zeta)
+    y1 = eta[:, None] * (X[:, 1:] + c[:, None] * w[:, 1:])
+    return jnp.concatenate([y0[:, None], y1], axis=1)
+
+
+def _soc_mul_Winv(w, eta, X):
+    """y = W^{-1} x.  reference: coneops_socone.jl:336-357"""
+    zeta = jnp.sum(w[:, 1:] * X[:, 1:], axis=1)
+    c = -X[:, 0] + zeta / (1.0 + w[:, 0])
+    etainv = 1.0 / eta
+    y0 = etainv * (w[:, 0] * X[:, 0] - zeta)
+    y1 = etainv[:, None] * (X[:, 1:] + c[:, None] * w[:, 1:])
+    return jnp.concatenate([y0[:, None], y1], axis=1)
+
+
+def _soc_circ(Y, Z):
+    """x = y ∘ z.  reference: coneops_socone.jl:376-391"""
+    x0 = jnp.sum(Y * Z, axis=1)
+    x1 = Y[:, :1] * Z[:, 1:] + Z[:, :1] * Y[:, 1:]
+    return jnp.concatenate([x0[:, None], x1], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# identity scaling / initialization
+# ---------------------------------------------------------------------------
+
+def set_identity_scaling(layout: ConeLayout, dtype) -> Dict:
+    """reference: coneops_{nncone,socone}.jl set_identity_scaling!"""
+    state = {}
+    for name, g in layout.groups.items():
+        if g.kind == "nn":
+            state[name] = {
+                "w": jnp.ones((g.width,), dtype),
+                "lam": jnp.ones((g.width,), dtype),
+            }
+        elif g.kind == "soc":
+            w = jnp.zeros((g.count, g.width), dtype).at[:, 0].set(1.0)
+            state[name] = {
+                "w": w,
+                "lam": jnp.zeros((g.count, g.width), dtype),
+                "eta": jnp.ones((g.count,), dtype),
+            }
+        elif g.kind == "zero":
+            state[name] = {}
+        elif g.kind == "psd":
+            state[name] = psd_ops.identity_scaling(g, dtype)
+        elif g.kind in ("exp", "pow", "genpow"):
+            state[name] = nonsym_ops.identity_scaling(g, dtype)
+        else:
+            raise NotImplementedError(g.kind)
+    return state
+
+
+def unit_initialization(layout: ConeLayout, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit (z, s) for the asymmetric start.
+    reference: src/variables.jl:213-226 + per-cone unit_initialization!"""
+    z = jnp.zeros((layout.m,), dtype)
+    s = jnp.zeros((layout.m,), dtype)
+    for name, g in layout.groups.items():
+        if g.kind == "nn":
+            z = z.at[g.idx].set(1.0)
+            s = s.at[g.idx].set(1.0)
+        elif g.kind == "soc":
+            z = z.at[g.idx[:, 0]].set(1.0)
+            s = s.at[g.idx[:, 0]].set(1.0)
+        elif g.kind == "zero":
+            pass
+        elif g.kind == "psd":
+            z, s = psd_ops.unit_initialization(g, z, s)
+        elif g.kind in ("exp", "pow", "genpow"):
+            z, s = nonsym_ops.unit_initialization(g, z, s)
+    return z, s
+
+
+# ---------------------------------------------------------------------------
+# margins / shifts (symmetric initialization path)
+# ---------------------------------------------------------------------------
+
+def margins(layout: ConeLayout, z, pd: str):
+    """(min margin, sum of positive margins).
+    reference: coneops_compositecone.jl:49-63 and per-cone margins."""
+    alpha = jnp.asarray(_BIG, z.dtype)
+    beta = jnp.asarray(0.0, z.dtype)
+    for name, g in layout.groups.items():
+        if g.kind == "nn":
+            zg = z[g.idx[0]]
+            alpha = jnp.minimum(alpha, jnp.min(zg))
+            beta = beta + jnp.sum(jnp.maximum(zg, 0.0))
+        elif g.kind == "soc":
+            Z = _gather(z, g)
+            a = Z[:, 0] - jnp.linalg.norm(Z[:, 1:], axis=1)
+            alpha = jnp.minimum(alpha, jnp.min(a))
+            beta = beta + jnp.sum(jnp.maximum(a, 0.0))
+        elif g.kind == "zero":
+            pass  # (floatmax, 0): reference coneops_zerocone.jl:27-39
+        elif g.kind == "psd":
+            a, b = psd_ops.margins(g, z)
+            alpha = jnp.minimum(alpha, a)
+            beta = beta + b
+        # nonsymmetric cones never take this path
+    return alpha, beta
+
+
+def scaled_unit_shift(layout: ConeLayout, z, alpha, pd: str):
+    """z += alpha * e per cone (zero cone: project to 0 on the primal side).
+    reference: per-cone scaled_unit_shift!"""
+    for name, g in layout.groups.items():
+        if g.kind == "nn":
+            z = z.at[g.idx[0]].add(alpha)
+        elif g.kind == "soc":
+            z = z.at[g.idx[:, 0]].add(alpha)
+        elif g.kind == "zero":
+            if pd == "primal":
+                z = z.at[g.idx[0]].set(0.0)
+        elif g.kind == "psd":
+            z = psd_ops.scaled_unit_shift(g, z, alpha)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# scaling update
+# ---------------------------------------------------------------------------
+
+def update_scaling(layout: ConeLayout, state: Dict, s, z, mu, scaling_strategy):
+    """NT (or nonsymmetric) scaling update for every group.
+
+    Returns (new_state, is_success).  reference:
+    coneops_nncone.jl:77-89, coneops_socone.jl:75-154,
+    coneops_compositecone.jl:103-120.
+    """
+    ok = jnp.asarray(True)
+    new_state = {}
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            new_state[name] = {}
+        elif g.kind == "nn":
+            sg, zg = s[g.idx[0]], z[g.idx[0]]
+            prod = sg * zg
+            ok = jnp.logical_and(ok, jnp.all(prod > 0))
+            prod_safe = jnp.maximum(prod, 0.0)
+            ratio_safe = jnp.where(zg != 0, sg / jnp.where(zg != 0, zg, 1.0), 0.0)
+            new_state[name] = {
+                "w": jnp.sqrt(jnp.maximum(ratio_safe, 0.0)),
+                "lam": jnp.sqrt(prod_safe),
+            }
+        elif g.kind == "soc":
+            S, Z = _gather(s, g), _gather(z, g)
+            zscale = _sqrt_soc_residual(Z)
+            sscale = _sqrt_soc_residual(S)
+            okg = jnp.logical_and(zscale > 0, sscale > 0)
+            zs = jnp.where(zscale > 0, zscale, 1.0)
+            ss = jnp.where(sscale > 0, sscale, 1.0)
+
+            eta = jnp.sqrt(ss / zs)
+
+            w = S / ss[:, None]
+            w = w.at[:, 0].add(Z[:, 0] / zs)
+            w = w.at[:, 1:].add(-Z[:, 1:] / zs[:, None])
+
+            wscale = _sqrt_soc_residual(w)
+            okg = jnp.logical_and(okg, wscale > 0)
+            ws = jnp.where(wscale > 0, wscale, 1.0)
+            w = w / ws[:, None]
+
+            w1sq = jnp.sum(w[:, 1:] ** 2, axis=1)
+            w = w.at[:, 0].set(jnp.sqrt(1.0 + w1sq))
+
+            # scaling point λ: reference coneops_socone.jl:115-123
+            gamma = 0.5 * ws
+            lam1 = (
+                ((gamma + Z[:, 0] / zs) / ss)[:, None] * S[:, 1:]
+                + ((gamma + S[:, 0] / ss) / zs)[:, None] * Z[:, 1:]
+            )
+            lam1 = lam1 / (S[:, 0] / ss + Z[:, 0] / zs + 2.0 * gamma)[:, None]
+            lam = jnp.concatenate([gamma[:, None], lam1], axis=1)
+            lam = lam * jnp.sqrt(ss * zs)[:, None]
+
+            ok = jnp.logical_and(ok, jnp.all(okg))
+            new_state[name] = {"w": w, "lam": lam, "eta": eta}
+        elif g.kind == "psd":
+            st, okg = psd_ops.update_scaling(g, s, z)
+            ok = jnp.logical_and(ok, okg)
+            new_state[name] = st
+        elif g.kind in ("exp", "pow", "genpow"):
+            st, okg = nonsym_ops.update_scaling(g, s, z, mu, scaling_strategy)
+            ok = jnp.logical_and(ok, okg)
+            new_state[name] = st
+        else:
+            raise NotImplementedError(g.kind)
+    return new_state, ok
+
+
+# ---------------------------------------------------------------------------
+# Hs (dense assembly + product)
+# ---------------------------------------------------------------------------
+
+def hs_dense(layout: ConeLayout, state: Dict, dtype):
+    """Assemble the full m x m Hs = blkdiag of per-cone W'W (or μH) blocks.
+
+    The reference writes per-cone triu blocks into a sparse KKT via index
+    maps (reference: kktsolver_directldl.jl:211-245); the dense TPU path
+    scatters whole blocks instead.
+    """
+    m = layout.m
+    H = jnp.zeros((m, m), dtype)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            w = state[name]["w"]
+            H = H.at[g.idx[0], g.idx[0]].set(w * w)
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            # H_i = eta^2 (2 w w' - J);  reference: coneops_socone.jl:169-187
+            blocks = 2.0 * w[:, :, None] * w[:, None, :]
+            d = g.width
+            J = jnp.zeros((d, d), dtype).at[0, 0].set(1.0)
+            J = J.at[jnp.arange(1, d), jnp.arange(1, d)].set(-1.0)
+            blocks = blocks - J[None, :, :]
+            blocks = blocks * (eta**2)[:, None, None]
+            H = H.at[g.idx[:, :, None], g.idx[:, None, :]].set(blocks)
+        elif g.kind == "psd":
+            H = psd_ops.hs_dense_scatter(g, state[name], H)
+        elif g.kind in ("exp", "pow", "genpow"):
+            H = nonsym_ops.hs_dense_scatter(g, state[name], H)
+        else:
+            raise NotImplementedError(g.kind)
+    return H
+
+
+def mul_Hs(layout: ConeLayout, state: Dict, x):
+    """y = Hs x.  reference: coneops_compositecone.jl:138-150"""
+    y = jnp.zeros_like(x)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            w = state[name]["w"]
+            y = y.at[g.idx[0]].set(w * (w * x[g.idx[0]]))
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            X = _gather(x, g)
+            c = 2.0 * jnp.sum(w * X, axis=1)
+            out = X.at[:, 0].multiply(-1.0)
+            out = out + c[:, None] * w
+            out = out * (eta**2)[:, None]
+            y = _scatter(y, g, out)
+        elif g.kind == "psd":
+            y = psd_ops.mul_Hs(g, state[name], x, y)
+        elif g.kind in ("exp", "pow", "genpow"):
+            y = nonsym_ops.mul_Hs(g, state[name], x, y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# step direction RHS components
+# ---------------------------------------------------------------------------
+
+def affine_ds(layout: ConeLayout, state: Dict, s):
+    """ds = λ ∘ λ (symmetric) or s (nonsymmetric).
+    reference: coneops_compositecone.jl:153-165"""
+    ds = jnp.zeros_like(s)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            lam = state[name]["lam"]
+            ds = ds.at[g.idx[0]].set(lam * lam)
+        elif g.kind == "soc":
+            lam = state[name]["lam"]
+            ds = _scatter(ds, g, _soc_circ(lam, lam))
+        elif g.kind == "psd":
+            ds = psd_ops.affine_ds(g, state[name], ds)
+        elif g.kind in ("exp", "pow", "genpow"):
+            ds = _scatter(ds, g, _gather(s, g))
+    return ds
+
+
+def combined_ds_shift(layout: ConeLayout, state: Dict, step_z, step_s, sigma_mu, z):
+    """shift = W⁻¹Δs ∘ WΔz − σμe (symmetric)
+          or  σμ·g(z) + higher-order correction (nonsymmetric).
+    reference: coneops_symmetric_common.jl:2-35,
+    coneops_nonsymmetric_common.jl."""
+    shift = jnp.zeros_like(step_z)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            w = state[name]["w"]
+            dz, ds = step_z[g.idx[0]], step_s[g.idx[0]]
+            wdz = w * dz
+            winv_ds = ds / w
+            shift = shift.at[g.idx[0]].set(winv_ds * wdz - sigma_mu)
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            Dz, Ds = _gather(step_z, g), _gather(step_s, g)
+            Wdz = _soc_mul_W(w, eta, Dz)
+            Winv_ds = _soc_mul_Winv(w, eta, Ds)
+            out = _soc_circ(Winv_ds, Wdz)
+            out = out.at[:, 0].add(-sigma_mu)
+            shift = _scatter(shift, g, out)
+        elif g.kind == "psd":
+            shift = psd_ops.combined_ds_shift(g, state[name], step_z, step_s, sigma_mu, shift)
+        elif g.kind in ("exp", "pow", "genpow"):
+            shift = nonsym_ops.combined_ds_shift(
+                g, state[name], step_z, step_s, sigma_mu, z, shift
+            )
+    return shift
+
+
+def ds_from_dz_offset(layout: ConeLayout, state: Dict, ds, z):
+    """out = Wᵀ(λ \\ ds) (symmetric) or ds (nonsymmetric).
+    reference: coneops_compositecone.jl:185-202"""
+    out = jnp.zeros_like(ds)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            zg = z[g.idx[0]]
+            out = out.at[g.idx[0]].set(ds[g.idx[0]] / zg)
+        elif g.kind == "soc":
+            # stable form: reference coneops_socone.jl:241-268
+            w, eta, lam = state[name]["w"], state[name]["eta"], state[name]["lam"]
+            Z, DS = _gather(z, g), _gather(ds, g)
+            resz = _soc_residual(Z)
+            lam1ds1 = jnp.sum(lam[:, 1:] * DS[:, 1:], axis=1)
+            w1ds1 = jnp.sum(w[:, 1:] * DS[:, 1:], axis=1)
+            O = -Z
+            O = O.at[:, 0].set(Z[:, 0])
+            c = lam[:, 0] * DS[:, 0] - lam1ds1
+            O = O * (c / resz)[:, None]
+            O = O.at[:, 0].add(eta * w1ds1)
+            O = O.at[:, 1:].add(
+                eta[:, None]
+                * (DS[:, 1:] + (w1ds1 / (1.0 + w[:, 0]))[:, None] * w[:, 1:])
+            )
+            O = O / lam[:, :1]
+            out = _scatter(out, g, O)
+        elif g.kind == "psd":
+            out = psd_ops.ds_from_dz_offset(g, state[name], ds, out)
+        elif g.kind in ("exp", "pow", "genpow"):
+            out = _scatter(out, g, _gather(ds, g))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# step length & barrier
+# ---------------------------------------------------------------------------
+
+def step_length(layout: ConeLayout, state, dz, ds, z, s, alpha_max, settings_ls):
+    """max step α so that (z+αdz, s+αds) stays in the cone (interior).
+
+    Symmetric cones are evaluated first; if any nonsymmetric cone is present
+    the step is capped at 1−√eps before their backtracking searches run.
+    reference: coneops_compositecone.jl:205-243.
+    """
+    alpha = jnp.asarray(alpha_max, z.dtype)
+
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            continue
+        if g.kind == "nn":
+            dzg, dsg = dz[g.idx[0]], ds[g.idx[0]]
+            zg, sg = z[g.idx[0]], s[g.idx[0]]
+            az = jnp.where(dzg < 0, -zg / jnp.where(dzg < 0, dzg, -1.0), _BIG)
+            a_s = jnp.where(dsg < 0, -sg / jnp.where(dsg < 0, dsg, -1.0), _BIG)
+            alpha = jnp.minimum(alpha, jnp.minimum(jnp.min(az), jnp.min(a_s)))
+        elif g.kind == "soc":
+            az = _soc_step_length_comp(_gather(z, g), _gather(dz, g))
+            a_s = _soc_step_length_comp(_gather(s, g), _gather(ds, g))
+            alpha = jnp.minimum(alpha, jnp.minimum(az, a_s))
+        elif g.kind == "psd":
+            a = psd_ops.step_length(g, state[name], dz, ds, z, s)
+            alpha = jnp.minimum(alpha, a)
+
+    if layout.has_nonsymmetric:
+        eps = jnp.finfo(z.dtype).eps
+        alpha = jnp.minimum(alpha, 1.0 - jnp.sqrt(eps))
+        for name, g in layout.groups.items():
+            if g.kind in ("exp", "pow", "genpow"):
+                a = nonsym_ops.step_length(
+                    g, dz, ds, z, s, alpha, settings_ls
+                )
+                alpha = jnp.minimum(alpha, a)
+    return alpha
+
+
+def _soc_step_length_comp(X, Y):
+    """Min positive root of the per-cone boundary quadratic, batched,
+    cancellation-safe.  reference: coneops_socone.jl:443-512"""
+    x0, y0 = X[:, 0], Y[:, 0]
+    # scalar-part bound
+    a0 = jnp.where(
+        jnp.logical_and(x0 >= 0, y0 < 0),
+        -x0 / jnp.where(y0 < 0, y0, -1.0),
+        _BIG,
+    )
+
+    a = _soc_residual(Y)
+    b = 2.0 * (x0 * y0 - jnp.sum(X[:, 1:] * Y[:, 1:], axis=1))
+    c = jnp.maximum(0.0, _soc_residual(X))
+    d = b * b - 4.0 * a * c
+
+    sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
+    t = jnp.where(b >= 0, -b - sqrt_d, -b + sqrt_d)
+    t_safe = jnp.where(t != 0, t, 1.0)
+    a_safe = jnp.where(a != 0, a, 1.0)
+    r1 = jnp.where(t != 0, (2.0 * c) / t_safe, _BIG)
+    r2 = jnp.where(a != 0, t / (2.0 * a_safe), _BIG)
+    r1 = jnp.where(r1 < 0, _BIG, r1)
+    r2 = jnp.where(r2 < 0, _BIG, r2)
+    root = jnp.minimum(r1, r2)
+
+    # edge cases mirror the reference's branch structure
+    alpha_i = jnp.where(
+        jnp.logical_or(jnp.logical_and(a > 0, b > 0), d < 0),
+        _BIG,
+        jnp.where(
+            a == 0,
+            _BIG,
+            jnp.where(c == 0, jnp.where(a >= 0, _BIG, 0.0), root),
+        ),
+    )
+    return jnp.min(jnp.minimum(alpha_i, a0))
+
+
+def compute_barrier(layout: ConeLayout, state, z, s, dz, ds, alpha):
+    """f(s+αds) + f*(z+αdz) summed over cones.
+    reference: coneops_compositecone.jl:246-265"""
+    barrier = jnp.asarray(0.0, z.dtype)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            continue
+        if g.kind == "nn":
+            si = s[g.idx[0]] + alpha * ds[g.idx[0]]
+            zi = z[g.idx[0]] + alpha * dz[g.idx[0]]
+            prod = si * zi
+            barrier = barrier - jnp.sum(_logsafe(prod))
+        elif g.kind == "soc":
+            rs = _soc_residual(_gather(s, g) + alpha * _gather(ds, g))
+            rz = _soc_residual(_gather(z, g) + alpha * _gather(dz, g))
+            per = jnp.where(
+                jnp.logical_and(rs > 0, rz > 0),
+                -_logsafe(rs * rz) / 2.0,
+                jnp.inf,
+            )
+            barrier = barrier + jnp.sum(per)
+        elif g.kind == "psd":
+            barrier = barrier + psd_ops.compute_barrier(g, z, s, dz, ds, alpha)
+        elif g.kind in ("exp", "pow", "genpow"):
+            barrier = barrier + nonsym_ops.compute_barrier(g, z, s, dz, ds, alpha)
+    return barrier
+
+
+def _logsafe(x):
+    """log with -inf/NaN protection.  reference: src/utils/mathutils.jl logsafe"""
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# equilibration rectification
+# ---------------------------------------------------------------------------
+
+def rectify_equilibration(layout: ConeLayout, e):
+    """Force scalar (mean) scaling on cones that do not allow elementwise
+    equilibration.  Returns (delta, any_changed) with e_new = delta * e.
+    reference: coneops_defaults.jl:32-44, coneops_compositecone.jl:28-47"""
+    delta = jnp.ones_like(e)
+    changed = False
+    for name, g in layout.groups.items():
+        if g.kind in ("zero", "nn"):
+            continue
+        eg = e[g.idx]  # (count, width)
+        mean = jnp.mean(eg, axis=1, keepdims=True)
+        delta = delta.at[g.idx].set(mean / eg)
+        changed = True
+    return delta, changed

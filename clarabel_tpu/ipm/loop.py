@@ -1,0 +1,666 @@
+"""The homogeneous-embedding IPM core as a single jitted fixed-shape loop.
+
+This is the TPU-native re-design of the reference's `solve!` main loop
+(reference: src/solver.jl:189-380): the whole iteration — residuals,
+termination metrics, Nesterov–Todd scaling, dense KKT factor, Mehrotra
+predictor-corrector solves, cone step-length searches, strategy
+checkpointing — is one `lax.while_loop` body with no host round-trips.
+Data-dependent control flow (strategy downgrades, failures, termination)
+becomes integer/boolean state selected with `jnp.where`, so the program is
+a single XLA computation that also `vmap`s cleanly over instance batches.
+
+Variable set: (x, z, s, τ, κ) with residuals
+    rx = −Aᵀz − Px − qτ
+    rz = s + Ax − bτ
+    rτ = qᵀx + bᵀz + κ + xᵀPx/τ        (reference: src/residuals.jl:1-37)
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..cones.layout import ConeLayout
+from ..cones import ops as cone_ops
+from ..kkt import dense as kkt
+from ..statuscodes import SolverStatus
+from .equilibration import ruiz_equilibrate, Equilibration
+
+# scaling strategy codes (reference: src/types.jl:73-76)
+PRIMAL_DUAL = 0
+DUAL = 1
+
+_BIG = 1e300
+
+
+class Residuals(NamedTuple):
+    rx: jnp.ndarray
+    rz: jnp.ndarray
+    rtau: jnp.ndarray
+    rx_inf: jnp.ndarray
+    rz_inf: jnp.ndarray
+    Px: jnp.ndarray
+    dot_qx: jnp.ndarray
+    dot_bz: jnp.ndarray
+    dot_sz: jnp.ndarray
+    dot_xPx: jnp.ndarray
+
+
+class Info(NamedTuple):
+    cost_primal: jnp.ndarray
+    cost_dual: jnp.ndarray
+    res_primal: jnp.ndarray
+    res_dual: jnp.ndarray
+    res_primal_inf: jnp.ndarray
+    res_dual_inf: jnp.ndarray
+    gap_abs: jnp.ndarray
+    gap_rel: jnp.ndarray
+    ktratio: jnp.ndarray
+
+
+class Carry(NamedTuple):
+    # current iterate
+    x: jnp.ndarray
+    z: jnp.ndarray
+    s: jnp.ndarray
+    tau: jnp.ndarray
+    kappa: jnp.ndarray
+    # previous iterate (rollback for insufficient progress,
+    # reference: src/solver.jl:346-347, src/info.jl:123-153)
+    px: jnp.ndarray
+    pz: jnp.ndarray
+    ps: jnp.ndarray
+    ptau: jnp.ndarray
+    pkappa: jnp.ndarray
+    # previous-iterate info scalars
+    prev_res_primal: jnp.ndarray
+    prev_res_dual: jnp.ndarray
+    prev_gap_abs: jnp.ndarray
+    prev_gap_rel: jnp.ndarray
+    # most recent iteration scalars
+    mu: jnp.ndarray
+    alpha: jnp.ndarray
+    sigma: jnp.ndarray
+    # counters / state machine
+    iters: jnp.ndarray     # int32
+    status: jnp.ndarray    # int32
+    scaling: jnp.ndarray   # int32
+
+
+def compute_residuals(P, q, A, b, x, z, s, tau, kappa) -> Residuals:
+    """reference: src/residuals.jl:1-37"""
+    qx = q @ x
+    bz = b @ z
+    sz = s @ z
+    Px = P @ x
+    xPx = x @ Px
+    rx_inf = -(A.T @ z)
+    rz_inf = s + A @ x
+    rx = rx_inf - Px - q * tau
+    rz = rz_inf - b * tau
+    rtau = qx + bz + kappa + xPx / tau
+    return Residuals(rx, rz, rtau, rx_inf, rz_inf, Px, qx, bz, sz, xPx)
+
+
+def _norm2_scaled(w, v):
+    return jnp.linalg.norm(w * v)
+
+
+def compute_info(res: Residuals, x, z, s, tau, kappa,
+                 equil: Equilibration, normq, normb) -> Info:
+    """Equilibration-corrected convergence metrics.
+    reference: src/info.jl:1-63"""
+    tinv = 1.0 / tau
+    cinv = 1.0 / equil.c
+    d, dinv, e, einv = equil.d, equil.dinv, equil.e, equil.einv
+
+    xPx_half = res.dot_xPx * tinv * tinv / 2.0
+    cost_primal = (res.dot_qx * tinv + xPx_half) * cinv
+    cost_dual = (-res.dot_bz * tinv - xPx_half) * cinv
+
+    normx = _norm2_scaled(d, x)
+    normz = _norm2_scaled(e, z) * cinv
+    norms = _norm2_scaled(einv, s)
+
+    res_primal_inf = (_norm2_scaled(dinv, res.rx_inf) * cinv) / jnp.maximum(1.0, normz)
+    res_dual_inf = jnp.maximum(
+        _norm2_scaled(dinv, res.Px) / jnp.maximum(1.0, normx),
+        _norm2_scaled(einv, res.rz_inf) / jnp.maximum(1.0, normx + norms),
+    )
+
+    normx = normx * tinv
+    normz = normz * tinv
+    norms = norms * tinv
+
+    res_primal = (
+        _norm2_scaled(einv, res.rz) * tinv / jnp.maximum(1.0, normb + normx + norms)
+    )
+    res_dual = (
+        _norm2_scaled(dinv, res.rx) * tinv * cinv
+        / jnp.maximum(1.0, normq + normx + normz)
+    )
+
+    gap_abs = jnp.abs(cost_primal - cost_dual)
+    gap_rel = gap_abs / jnp.maximum(
+        1.0, jnp.minimum(jnp.abs(cost_primal), jnp.abs(cost_dual))
+    )
+    ktratio = kappa * tinv
+    return Info(cost_primal, cost_dual, res_primal, res_dual,
+                res_primal_inf, res_dual_inf, gap_abs, gap_rel, ktratio)
+
+
+def check_convergence(info: Info, res: Residuals, tols) -> jnp.ndarray:
+    """Returns a status code (UNSOLVED if not converged).
+    reference: src/info.jl:274-331"""
+    (tol_gap_abs, tol_gap_rel, tol_feas,
+     tol_infeas_abs, tol_infeas_rel, tol_ktratio,
+     solved_st, pinf_st, dinf_st) = tols
+
+    is_solved = jnp.logical_and(
+        jnp.logical_or(info.gap_abs < tol_gap_abs, info.gap_rel < tol_gap_rel),
+        jnp.logical_and(info.res_primal < tol_feas, info.res_dual < tol_feas),
+    )
+    solved = jnp.logical_and(info.ktratio <= 1.0, is_solved)
+
+    kt_big = info.ktratio > 1000.0 / tol_ktratio
+    pinf = jnp.logical_and(
+        res.dot_bz < -tol_infeas_abs,
+        info.res_primal_inf < -tol_infeas_rel * res.dot_bz,
+    )
+    dinf = jnp.logical_and(
+        res.dot_qx < -tol_infeas_abs,
+        info.res_dual_inf < -tol_infeas_rel * res.dot_qx,
+    )
+
+    status = jnp.where(
+        solved,
+        solved_st,
+        jnp.where(
+            jnp.logical_and(kt_big, pinf),
+            pinf_st,
+            jnp.where(jnp.logical_and(kt_big, dinf), dinf_st,
+                      int(SolverStatus.UNSOLVED)),
+        ),
+    )
+    return status.astype(jnp.int32)
+
+
+def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
+    """Build the end-to-end jitted solve function for a fixed problem
+    structure (cone layout + dimensions).
+
+    Returns solve(P, q, A, b) -> solution dict.  P must be the FULL
+    symmetric cost matrix (the reference consumes triu-only;
+    see src/solver.jl docstring).
+    """
+    m = layout.m
+    dtype = np.dtype(settings.dtype)
+    degree = layout.degree
+    signs = jnp.asarray(
+        np.concatenate([np.ones(n), -np.ones(m)]).astype(dtype)
+    )
+    # generalized power cones only support dual scaling
+    # (reference: coneops_genpowcone.jl:21)
+    allows_pd = not any(g.kind == "genpow" for g in layout.groups.values())
+    scaling0 = PRIMAL_DUAL if allows_pd else DUAL
+    is_symmetric = layout.is_symmetric
+    eps_T = float(np.finfo(dtype).eps)
+
+    def shift_to_cone_interior(vec, pd):
+        """reference: src/variables.jl:180-208"""
+        mm, pm = cone_ops.margins(layout, vec, pd)
+        if degree > 0:
+            target = jnp.maximum(1.0, 0.1 * pm / degree)
+        else:
+            target = jnp.asarray(1.0, vec.dtype)
+        amt1 = jnp.where(mm <= 0, -mm, 0.0)
+        amt2 = jnp.where(
+            mm <= 0, target, jnp.where(mm < target, target - mm, 0.0)
+        )
+        vec = cone_ops.scaled_unit_shift(layout, vec, amt1, pd)
+        vec = cone_ops.scaled_unit_shift(layout, vec, amt2, pd)
+        return vec
+
+    def default_start(P, q, A, b):
+        """reference: src/solver.jl:383-404, src/kktsystem.jl:95-132"""
+        zero_n = jnp.zeros((n,), dtype)
+        zero_m = jnp.zeros((m,), dtype)
+        if is_symmetric:
+            state0 = cone_ops.set_identity_scaling(layout, dtype)
+            Hs = cone_ops.hs_dense(layout, state0, dtype)
+            fac = kkt.assemble_and_factor(P, A, Hs, signs, settings)
+            if p_nonzero:
+                # QP initialization
+                x0, z0, _ = kkt.kkt_solve_xz(fac, -q, b, settings)
+                s0 = -z0
+            else:
+                # LP initialization
+                x0, ms, _ = kkt.kkt_solve_xz(fac, zero_n, b, settings)
+                s0 = -ms
+                _, z0, _ = kkt.kkt_solve_xz(fac, -q, zero_m, settings)
+            s0 = shift_to_cone_interior(s0, "primal")
+            z0 = shift_to_cone_interior(z0, "dual")
+        else:
+            z0, s0 = cone_ops.unit_initialization(layout, dtype)
+            x0 = zero_n
+        one = jnp.asarray(1.0, dtype)
+        return x0, z0, s0, one, one
+
+    def calc_step_length(dz, ds, dtau, dkappa, z, s, tau, kappa,
+                         state, steptype, scaling):
+        """reference: src/variables.jl:14-43 + solver_get_step_length"""
+        a_tau = jnp.where(dtau < 0, -tau / jnp.where(dtau < 0, dtau, -1.0), _BIG)
+        a_kappa = jnp.where(dkappa < 0, -kappa / jnp.where(dkappa < 0, dkappa, -1.0), _BIG)
+        amax = jnp.minimum(jnp.minimum(a_tau, a_kappa), 1.0)
+        alpha = cone_ops.step_length(layout, state, dz, ds, z, s, amax, settings)
+        if steptype == "combined":
+            alpha = alpha * settings.max_step_fraction
+        return alpha
+
+    def barrier_fn(x, z, s, tau, kappa, dz, ds, dtau, dkappa, state, alpha):
+        """reference: src/variables.jl:46-72"""
+        central_coef = degree + 1
+        cur_tau = tau + alpha * dtau
+        cur_kappa = kappa + alpha * dkappa
+        sz = jnp.dot(z + alpha * dz, s + alpha * ds)
+        mu = (sz + cur_tau * cur_kappa) / central_coef
+        barrier = (
+            central_coef * cone_ops._logsafe(mu)
+            - cone_ops._logsafe(cur_tau)
+            - cone_ops._logsafe(cur_kappa)
+        )
+        barrier = barrier + cone_ops.compute_barrier(layout, state, z, s, dz, ds, alpha)
+        return barrier
+
+    def backtrack_to_barrier(x, z, s, tau, kappa, dz, ds, dtau, dkappa,
+                             state, alpha_init):
+        """Backtracking line search on barrier < 1 for asymmetric duals.
+        reference: src/solver.jl:424-442"""
+        step = settings.linesearch_backtrack_step
+
+        def body(carry):
+            j, alpha, done = carry
+            barrier = barrier_fn(x, z, s, tau, kappa, dz, ds, dtau, dkappa,
+                                 state, alpha)
+            good = barrier < 1.0
+            alpha = jnp.where(good, alpha, alpha * step)
+            return (j + 1, alpha, good)
+
+        def cond(carry):
+            j, alpha, done = carry
+            return jnp.logical_and(j < settings.linesearch_max_iter,
+                                   jnp.logical_not(done))
+
+        _, alpha, _ = lax.while_loop(
+            cond, body, (jnp.asarray(0), alpha_init, jnp.asarray(False))
+        )
+        return alpha
+
+    def solve(P, q, A, b):
+        P = jnp.asarray(P, dtype)
+        q = jnp.asarray(q, dtype)
+        A = jnp.asarray(A, dtype)
+        b = jnp.asarray(b, dtype)
+
+        # -- equilibration (reference: src/problemdata.jl:133-221)
+        P, A, q, b, equil = ruiz_equilibrate(layout, settings, P, A, q, b)
+        normq = jnp.max(jnp.abs(equil.dinv * q)) / equil.c
+        normb = jnp.max(jnp.abs(equil.einv * b))
+
+        # -- initial point
+        x0, z0, s0, tau0, kappa0 = default_start(P, q, A, b)
+
+        fzero = jnp.asarray(0.0, dtype)
+        carry0 = Carry(
+            x=x0, z=z0, s=s0, tau=tau0, kappa=kappa0,
+            px=x0, pz=z0, ps=s0, ptau=tau0, pkappa=kappa0,
+            prev_res_primal=jnp.asarray(_BIG, dtype),
+            prev_res_dual=jnp.asarray(_BIG, dtype),
+            prev_gap_abs=jnp.asarray(_BIG, dtype),
+            prev_gap_rel=jnp.asarray(_BIG, dtype),
+            mu=jnp.asarray(_BIG, dtype),
+            alpha=fzero, sigma=jnp.asarray(1.0, dtype),
+            iters=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(int(SolverStatus.UNSOLVED), jnp.int32),
+            scaling=jnp.asarray(scaling0, jnp.int32),
+        )
+
+        full_tols = (
+            settings.tol_gap_abs, settings.tol_gap_rel, settings.tol_feas,
+            settings.tol_infeas_abs, settings.tol_infeas_rel,
+            settings.tol_ktratio,
+            int(SolverStatus.SOLVED), int(SolverStatus.PRIMAL_INFEASIBLE),
+            int(SolverStatus.DUAL_INFEASIBLE),
+        )
+
+        def loop_cond(carry: Carry):
+            return carry.status == int(SolverStatus.UNSOLVED)
+
+        def loop_body(carry: Carry) -> Carry:
+            x, z, s, tau, kappa = carry.x, carry.z, carry.s, carry.tau, carry.kappa
+
+            # -------- top-of-loop: residuals, info, termination --------
+            res = compute_residuals(P, q, A, b, x, z, s, tau, kappa)
+            mu = (res.dot_sz + tau * kappa) / (degree + 1)
+            info = compute_info(res, x, z, s, tau, kappa, equil, normq, normb)
+
+            status = check_convergence(info, res, full_tols)
+
+            # poor progress checks (reference: src/info.jl:79-104)
+            going_backwards = jnp.logical_or(
+                info.res_dual > carry.prev_res_dual,
+                info.res_primal > carry.prev_res_primal,
+            )
+            cond_progress = jnp.logical_and(
+                jnp.logical_and(status == int(SolverStatus.UNSOLVED),
+                                carry.iters > 1),
+                going_backwards,
+            )
+            poor_hi = jnp.logical_and(
+                info.ktratio < 100.0 * eps_T,
+                jnp.logical_or(
+                    carry.prev_gap_abs < settings.tol_gap_abs,
+                    carry.prev_gap_rel < settings.tol_gap_rel,
+                ),
+            )
+            diverging = jnp.logical_and(
+                info.ktratio < 1.0,
+                jnp.logical_or(
+                    jnp.logical_and(
+                        info.res_dual > 100.0 * settings.tol_feas,
+                        info.res_dual > 100.0 * carry.prev_res_dual,
+                    ),
+                    jnp.logical_and(
+                        info.res_primal > 100.0 * settings.tol_feas,
+                        info.res_primal > 100.0 * carry.prev_res_primal,
+                    ),
+                ),
+            )
+            insuff = jnp.logical_and(cond_progress,
+                                     jnp.logical_or(poor_hi, diverging))
+            status = jnp.where(
+                insuff, int(SolverStatus.INSUFFICIENT_PROGRESS), status
+            ).astype(jnp.int32)
+
+            # iteration limit (reference: src/info.jl:109-116)
+            status = jnp.where(
+                jnp.logical_and(status == int(SolverStatus.UNSOLVED),
+                                carry.iters >= settings.max_iter),
+                int(SolverStatus.MAX_ITERATIONS),
+                status,
+            ).astype(jnp.int32)
+
+            # insufficient-progress strategy checkpoint
+            # (reference: src/solver.jl:453-472): roll back to the previous
+            # iterate; if asymmetric and PrimalDual, downgrade and continue.
+            is_insuff = status == int(SolverStatus.INSUFFICIENT_PROGRESS)
+            can_downgrade_ip = jnp.logical_and(
+                (not is_symmetric) and allows_pd,
+                carry.scaling == PRIMAL_DUAL,
+            )
+            restore = is_insuff
+            x = jnp.where(restore, carry.px, x)
+            z = jnp.where(restore, carry.pz, z)
+            s = jnp.where(restore, carry.ps, s)
+            tau = jnp.where(restore, carry.ptau, tau)
+            kappa = jnp.where(restore, carry.pkappa, kappa)
+            downgraded_ip = jnp.logical_and(is_insuff, can_downgrade_ip)
+            status = jnp.where(
+                downgraded_ip, int(SolverStatus.UNSOLVED), status
+            ).astype(jnp.int32)
+            scaling = jnp.where(downgraded_ip, DUAL, carry.scaling).astype(jnp.int32)
+
+            done_or_restart = jnp.logical_or(
+                status != int(SolverStatus.UNSOLVED), downgraded_ip
+            )
+
+            def skip_step(_):
+                return carry._replace(
+                    x=x, z=z, s=s, tau=tau, kappa=kappa,
+                    mu=mu, status=status, scaling=scaling,
+                )
+
+            # -------- phase B: scaling, KKT, predictor-corrector --------
+            def do_step(_):
+                state, ok_scale = cone_ops.update_scaling(
+                    layout, None, s, z, mu, scaling
+                )
+                iters = carry.iters + 1
+
+                Hs = cone_ops.hs_dense(layout, state, dtype)
+                fac = kkt.assemble_and_factor(P, A, Hs, signs, settings)
+                ok_kkt = jnp.logical_and(fac.ok, ok_scale)
+
+                # constant-part solve [-q; b] -> (x2, z2)
+                # (reference: src/kktsystem.jl:80-92)
+                x2, z2, ok1 = kkt.kkt_solve_xz(fac, -q, b, settings)
+                ok_kkt = jnp.logical_and(ok_kkt, ok1)
+
+                def kkt_solve(rhs_x, rhs_z, rhs_s, rhs_tau, rhs_kappa, combined):
+                    """3-stage solve with two-solve τ recovery.
+                    reference: src/kktsystem.jl:135-215"""
+                    if combined:
+                        ds_const = cone_ops.ds_from_dz_offset(
+                            layout, state, rhs_s, z
+                        )
+                    else:
+                        ds_const = s
+                    workx = rhs_x
+                    workz = ds_const - rhs_z
+                    x1, z1, okA = kkt.kkt_solve_xz(fac, workx, workz, settings)
+
+                    xi = x / tau
+                    tau_num = (
+                        rhs_tau - rhs_kappa / tau + q @ x1 + b @ z1
+                        + 2.0 * (xi @ (P @ x1))
+                    )
+                    xi_m_x2 = xi - x2
+                    tau_den = (
+                        kappa / tau - q @ x2 - b @ z2
+                        + xi_m_x2 @ (P @ xi_m_x2) - x2 @ (P @ x2)
+                    )
+                    dtau = tau_num / tau_den
+                    dx = x1 + dtau * x2
+                    dz = z1 + dtau * z2
+                    ds = -(cone_ops.mul_Hs(layout, state, dz) + ds_const)
+                    dkappa = -(rhs_kappa + kappa * dtau) / tau
+                    return dx, dz, ds, dtau, dkappa, okA
+
+                # affine step (reference: src/variables.jl:107-121)
+                aff_ds = cone_ops.affine_ds(layout, state, s)
+                dxa, dza, dsa, dtaua, dkappaa, ok2 = kkt_solve(
+                    res.rx, res.rz, aff_ds, res.rtau, tau * kappa, combined=False
+                )
+                ok_kkt = jnp.logical_and(ok_kkt, ok2)
+
+                alpha_aff = calc_step_length(
+                    dza, dsa, dtaua, dkappaa, z, s, tau, kappa, state,
+                    "affine", scaling
+                )
+                sigma = (1.0 - alpha_aff) ** 3
+
+                # reduced Mehrotra correction on iteration 1
+                # (reference: src/solver.jl:305-314)
+                m_corr = jnp.where(iters > 1, 1.0, alpha_aff)
+
+                # combined step rhs (reference: src/variables.jl:124-162)
+                sigma_mu = sigma * mu
+                shift = cone_ops.combined_ds_shift(
+                    layout, state, m_corr * dza, dsa, sigma_mu, z
+                )
+                comb_s = aff_ds + shift
+                comb_x = (1.0 - sigma) * res.rx
+                comb_z = (1.0 - sigma) * res.rz
+                comb_tau = (1.0 - sigma) * res.rtau
+                comb_kappa = (
+                    -sigma_mu + m_corr * dtaua * dkappaa + tau * kappa
+                )
+
+                dx, dz, ds, dtau, dkappa, ok3 = kkt_solve(
+                    comb_x, comb_z, comb_s, comb_tau, comb_kappa, combined=True
+                )
+                ok_kkt = jnp.logical_and(ok_kkt, ok3)
+
+                # numerical-error checkpoint (reference: src/solver.jl:475-489)
+                can_downgrade = jnp.logical_and(
+                    (not is_symmetric) and allows_pd, scaling == PRIMAL_DUAL
+                )
+                kkt_fail = jnp.logical_not(ok_kkt)
+                new_scaling = jnp.where(
+                    jnp.logical_and(kkt_fail, can_downgrade), DUAL, scaling
+                ).astype(jnp.int32)
+                fail_status = jnp.where(
+                    jnp.logical_and(kkt_fail, jnp.logical_not(can_downgrade)),
+                    int(SolverStatus.NUMERICAL_ERROR),
+                    int(SolverStatus.UNSOLVED),
+                ).astype(jnp.int32)
+
+                # final step length
+                alpha = calc_step_length(
+                    dz, ds, dtau, dkappa, z, s, tau, kappa, state,
+                    "combined", scaling
+                )
+                if (not is_symmetric):
+                    # extra barrier backtrack for asymmetric dual scaling
+                    # (reference: src/solver.jl:416-419)
+                    alpha_bt = backtrack_to_barrier(
+                        x, z, s, tau, kappa, dz, ds, dtau, dkappa, state, alpha
+                    )
+                    alpha = jnp.where(scaling == DUAL, alpha_bt, alpha)
+
+                # small-step checkpoint (reference: src/solver.jl:492-505)
+                small_switch = jnp.logical_and(
+                    can_downgrade, alpha < settings.min_switch_step_length
+                )
+                small_terminate = jnp.logical_and(
+                    jnp.logical_not(small_switch),
+                    alpha <= max(0.0, settings.min_terminate_step_length),
+                )
+                new_scaling = jnp.where(
+                    jnp.logical_and(jnp.logical_not(kkt_fail), small_switch),
+                    DUAL, new_scaling,
+                ).astype(jnp.int32)
+                fail_status = jnp.where(
+                    jnp.logical_and(
+                        fail_status == int(SolverStatus.UNSOLVED),
+                        jnp.logical_and(jnp.logical_not(kkt_fail),
+                                        small_terminate),
+                    ),
+                    int(SolverStatus.INSUFFICIENT_PROGRESS),
+                    fail_status,
+                ).astype(jnp.int32)
+
+                take_step = jnp.logical_and(
+                    jnp.logical_not(kkt_fail),
+                    jnp.logical_and(jnp.logical_not(small_switch),
+                                    jnp.logical_not(small_terminate)),
+                )
+                alpha_eff = jnp.where(take_step, alpha, 0.0)
+
+                # save previous iterate before stepping
+                # (reference: src/solver.jl:346-349)
+                nx = jnp.where(take_step, x + alpha_eff * dx, x)
+                nz = jnp.where(take_step, z + alpha_eff * dz, z)
+                ns = jnp.where(take_step, s + alpha_eff * ds, s)
+                ntau = jnp.where(take_step, tau + alpha_eff * dtau, tau)
+                nkappa = jnp.where(take_step, kappa + alpha_eff * dkappa, kappa)
+
+                return Carry(
+                    x=nx, z=nz, s=ns, tau=ntau, kappa=nkappa,
+                    px=jnp.where(take_step, x, carry.px),
+                    pz=jnp.where(take_step, z, carry.pz),
+                    ps=jnp.where(take_step, s, carry.ps),
+                    ptau=jnp.where(take_step, tau, carry.ptau),
+                    pkappa=jnp.where(take_step, kappa, carry.pkappa),
+                    prev_res_primal=jnp.where(
+                        take_step, info.res_primal, carry.prev_res_primal),
+                    prev_res_dual=jnp.where(
+                        take_step, info.res_dual, carry.prev_res_dual),
+                    prev_gap_abs=jnp.where(
+                        take_step, info.gap_abs, carry.prev_gap_abs),
+                    prev_gap_rel=jnp.where(
+                        take_step, info.gap_rel, carry.prev_gap_rel),
+                    mu=mu, alpha=alpha_eff, sigma=sigma,
+                    iters=iters, status=fail_status, scaling=new_scaling,
+                )
+
+            return lax.cond(done_or_restart, skip_step, do_step, None)
+
+        final = lax.while_loop(loop_cond, loop_body, carry0)
+
+        # ---- post-processing (reference: src/solver.jl:366-370) ----
+        res = compute_residuals(P, q, A, b, final.x, final.z, final.s,
+                                final.tau, final.kappa)
+        info = compute_info(res, final.x, final.z, final.s, final.tau,
+                            final.kappa, equil, normq, normb)
+
+        # "almost" convergence checks at reduced tolerances
+        # (reference: src/info.jl:198-214, 252-271)
+        reduced_tols = (
+            settings.reduced_tol_gap_abs, settings.reduced_tol_gap_rel,
+            settings.reduced_tol_feas, settings.reduced_tol_infeas_abs,
+            settings.reduced_tol_infeas_rel, settings.reduced_tol_ktratio,
+            int(SolverStatus.ALMOST_SOLVED),
+            int(SolverStatus.ALMOST_PRIMAL_INFEASIBLE),
+            int(SolverStatus.ALMOST_DUAL_INFEASIBLE),
+        )
+        errored = jnp.logical_or(
+            jnp.logical_or(
+                final.status == int(SolverStatus.NUMERICAL_ERROR),
+                final.status == int(SolverStatus.INSUFFICIENT_PROGRESS),
+            ),
+            final.status == int(SolverStatus.MAX_ITERATIONS),
+        )
+        almost_status = check_convergence(info, res, reduced_tols)
+        status = jnp.where(
+            jnp.logical_and(errored,
+                            almost_status != int(SolverStatus.UNSOLVED)),
+            almost_status,
+            final.status,
+        ).astype(jnp.int32)
+
+        # unscale variables (reference: src/variables.jl:247-275)
+        is_infeasible = jnp.logical_or(
+            jnp.logical_or(
+                status == int(SolverStatus.PRIMAL_INFEASIBLE),
+                status == int(SolverStatus.DUAL_INFEASIBLE),
+            ),
+            jnp.logical_or(
+                status == int(SolverStatus.ALMOST_PRIMAL_INFEASIBLE),
+                status == int(SolverStatus.ALMOST_DUAL_INFEASIBLE),
+            ),
+        )
+        scaleinv = jnp.where(is_infeasible, 1.0 / final.kappa, 1.0 / final.tau)
+        cinv = 1.0 / equil.c
+        x_out = final.x * equil.d * scaleinv
+        z_out = final.z * equil.e * (scaleinv * cinv)
+        s_out = final.s * equil.einv * scaleinv
+
+        nan = jnp.asarray(np.nan, dtype)
+        obj_val = jnp.where(is_infeasible, nan, info.cost_primal)
+        obj_val_dual = jnp.where(is_infeasible, nan, info.cost_dual)
+
+        return {
+            "x": x_out,
+            "z": z_out,
+            "s": s_out,
+            "status": status,
+            "obj_val": obj_val,
+            "obj_val_dual": obj_val_dual,
+            "iterations": final.iters,
+            "r_prim": info.res_primal,
+            "r_dual": info.res_dual,
+            "gap_abs": info.gap_abs,
+            "gap_rel": info.gap_rel,
+            "mu": final.mu,
+            "step_length": final.alpha,
+            "sigma": final.sigma,
+            "ktratio": info.ktratio,
+            "tau": final.tau * scaleinv,
+            "kappa": final.kappa * scaleinv,
+        }
+
+    return solve

@@ -1,0 +1,119 @@
+"""Dense KKT system functions for the TPU IPM core.
+
+Replaces the reference's sparse CSC KKT assembly + DirectLDL solver stack
+(reference: src/kktsolvers/kktsolver_directldl.jl,
+src/kktsolvers/direct-ldl/directldl_kkt_assembly.jl) with a dense,
+fixed-shape formulation:
+
+    K = [ P   Aᵀ ]      Dsigns = (+1 ×n, −1 ×m)
+        [ A  −Hs ]
+
+* static regularization ±ε on the diagonal with
+  ε = const + proportional·‖diag K‖∞
+  (reference: kktsolver_directldl.jl:247-310);
+* dynamic per-pivot regularization inside the LDL kernel;
+* iterative refinement against the *unregularized* K
+  (reference: kktsolver_directldl.jl:389-449).
+
+Dense is the right first-order choice on TPU: the factorization becomes
+MXU matmuls, and sparse-cone expansions (SOC rank-2, genpow rank-3) are
+unnecessary because dense Hs blocks cost nothing extra.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..linalg.ldl import ldl_factor, ldl_solve
+
+
+class KKTFactor(NamedTuple):
+    L: jnp.ndarray
+    d: jnp.ndarray
+    K_true: jnp.ndarray  # unregularized KKT matrix (for iterative refinement)
+    ok: jnp.ndarray      # scalar bool
+
+
+def assemble_and_factor(P, A, Hs, signs, settings):
+    """Build K, apply static regularization, LDL-factor."""
+    n = P.shape[0]
+    m = A.shape[0]
+    K_true = jnp.block([[P, A.T], [A, -Hs]])
+
+    if settings.static_regularization_enable:
+        diag = jnp.diagonal(K_true)
+        maxdiag = jnp.max(jnp.abs(diag))
+        eps = (
+            settings.static_regularization_constant
+            + settings.static_regularization_proportional * maxdiag
+        )
+        K_reg = K_true + jnp.diag(signs * eps)
+    else:
+        K_reg = K_true
+
+    L, d, ok = ldl_factor(
+        K_reg,
+        signs,
+        dyn_eps=settings.dynamic_regularization_eps,
+        dyn_delta=settings.dynamic_regularization_delta,
+        dynamic_enable=settings.dynamic_regularization_enable,
+    )
+    return KKTFactor(L, d, K_true, ok)
+
+
+def solve_refined(fac: KKTFactor, rhs, settings):
+    """LDL solve + iterative refinement (reference: kktsolver_directldl.jl:389-466).
+
+    Returns (x, ok) where ok indicates a finite refined residual.
+    """
+    x = ldl_solve(fac.L, fac.d, rhs)
+
+    if not settings.iterative_refinement_enable:
+        return x, jnp.all(jnp.isfinite(x))
+
+    abstol = settings.iterative_refinement_abstol
+    reltol = settings.iterative_refinement_reltol
+    stop_ratio = settings.iterative_refinement_stop_ratio
+    max_iter = settings.iterative_refinement_max_iter
+
+    normb = jnp.max(jnp.abs(rhs))
+    e0 = rhs - fac.K_true @ x
+    norme0 = jnp.max(jnp.abs(e0))
+    ok0 = jnp.isfinite(norme0)
+
+    def cond(carry):
+        i, x, e, norme, done, ok = carry
+        return jnp.logical_and(
+            jnp.logical_and(i < max_iter, jnp.logical_not(done)),
+            jnp.logical_and(ok, norme > abstol + reltol * normb),
+        )
+
+    def body(carry):
+        i, x, e, norme, done, ok = carry
+        dx = ldl_solve(fac.L, fac.d, e)
+        xnew = x + dx
+        enew = rhs - fac.K_true @ xnew
+        nn = jnp.max(jnp.abs(enew))
+        okn = jnp.isfinite(nn)
+        ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)
+        stop = ratio < stop_ratio
+        accept = jnp.logical_and(okn, jnp.logical_or(~stop, ratio > 1.0))
+        x = jnp.where(accept, xnew, x)
+        e = jnp.where(accept, enew, e)
+        norme = jnp.where(accept, nn, norme)
+        return (i + 1, x, e, norme, jnp.logical_or(stop, ~okn), jnp.logical_and(ok, okn))
+
+    _, x, _, _, _, ok = lax.while_loop(
+        cond, body, (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
+    )
+    return x, ok
+
+
+def kkt_solve_xz(fac: KKTFactor, bx, bz, settings):
+    """Solve the (n+m) KKT system with RHS [bx; bz]; split the result."""
+    n = bx.shape[0]
+    rhs = jnp.concatenate([bx, bz])
+    sol, ok = solve_refined(fac, rhs, settings)
+    return sol[:n], sol[n:], ok

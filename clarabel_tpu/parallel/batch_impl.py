@@ -1,0 +1,91 @@
+"""BatchSolver: solve thousands of same-structure conic programs at once.
+
+Design: `build_solve` produces a pure function of the data arrays
+(P, q, A, b) for a fixed cone layout; `jax.vmap` of that function IS the
+batched solver.  Under vmap, the IPM `lax.while_loop` executes until every
+instance has terminated; instances that finish early pass through the
+status-gated no-op branch of the loop body, which is exactly the
+"convergence masking" strategy (BASELINE.md batched-SOCP config).
+"""
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..settings import Settings
+from ..statuscodes import SolverStatus
+from ..cones.api import SupportedCone, nvars, cones_collapse
+from ..cones.layout import ConeLayout
+from ..ipm.loop import build_solve
+from ..api import _symmetrize_triu, _to_dense
+
+
+@dataclasses.dataclass
+class BatchSolution:
+    x: np.ndarray          # (B, n)
+    z: np.ndarray          # (B, m)
+    s: np.ndarray          # (B, m)
+    status: np.ndarray     # (B,) int
+    obj_val: np.ndarray    # (B,)
+    iterations: np.ndarray  # (B,)
+    r_prim: np.ndarray
+    r_dual: np.ndarray
+    solve_time: float
+
+    @property
+    def all_solved(self) -> bool:
+        return bool(np.all(self.status == int(SolverStatus.SOLVED)))
+
+
+class BatchSolver:
+    """Batched solver over instances sharing one cone layout.
+
+        bs = BatchSolver(cones, n, settings)
+        sol = bs.solve(P, q, A, b)     # leading batch axis on every array
+    """
+
+    def __init__(self, cones: Sequence[SupportedCone], n: int,
+                 settings: Optional[Settings] = None, mesh=None):
+        import jax
+
+        self.settings = settings if settings is not None else Settings()
+        self.cones = cones_collapse(list(cones))
+        self.layout = ConeLayout(self.cones)
+        self.n = n
+        self.m = self.layout.m
+        self._mesh = mesh
+
+        solve_one = build_solve(self.layout, self.settings, n, p_nonzero=True)
+        batched = jax.vmap(solve_one)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sharding = NamedSharding(mesh, P("dp"))
+            self._solve_fn = jax.jit(
+                batched,
+                in_shardings=(data_sharding,) * 4,
+            )
+        else:
+            self._solve_fn = jax.jit(batched)
+
+    def solve(self, P, q, A, b) -> BatchSolution:
+        """P: (B,n,n) full/triu symmetric; q: (B,n); A: (B,m,n); b: (B,m)."""
+        P = np.asarray(P, np.float64)
+        # symmetrize-triu per instance: P_sym = triu(P,1) + triu(P,1)' + diag(P)
+        U = np.triu(P, 1)
+        eye = np.eye(P.shape[-1])
+        diag = np.diagonal(P, axis1=-2, axis2=-1)
+        P = U + np.swapaxes(U, -1, -2) + diag[..., None, :] * eye
+        t0 = time.perf_counter()
+        out = self._solve_fn(P, np.asarray(q), np.asarray(A), np.asarray(b))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        dt = time.perf_counter() - t0
+        return BatchSolution(
+            x=out["x"], z=out["z"], s=out["s"],
+            status=out["status"], obj_val=out["obj_val"],
+            iterations=out["iterations"],
+            r_prim=out["r_prim"], r_dual=out["r_dual"],
+            solve_time=dt,
+        )

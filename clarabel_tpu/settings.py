@@ -1,0 +1,117 @@
+"""Solver settings.
+
+Mirrors the ~45-field Settings struct of the reference implementation
+(reference: src/settings.jl:70-148), adapted for a TPU-native solver:
+
+* `dtype` replaces Julia's type-parameterization `Settings{T}`; the solver
+  core is traced at this dtype (default float64; float32 available for
+  throughput-oriented batched solves with relaxed tolerances).
+* `max_iter` bounds the fixed-shape `lax.while_loop`; there is no wall-clock
+  time check *inside* the jitted loop, so `time_limit` is enforced between
+  chunked device calls only when `time_limit` is finite.
+* Linear-solver selection chooses between the dense MXU-friendly LDL kernel
+  and (future) block-sparse/structured factorizations, replacing the
+  reference's QDLDL/CHOLMOD/Pardiso registry (reference:
+  src/kktsolvers/direct-ldl/directldl_defaults.jl:1-73).
+"""
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Settings:
+    # main iteration controls (reference: src/settings.jl:72-75)
+    max_iter: int = 200
+    time_limit: float = float("inf")
+    verbose: bool = False
+    max_step_fraction: float = 0.99
+
+    # full accuracy tolerances (reference: src/settings.jl:78-83)
+    tol_gap_abs: float = 1e-8
+    tol_gap_rel: float = 1e-8
+    tol_feas: float = 1e-8
+    tol_infeas_abs: float = 1e-8
+    tol_infeas_rel: float = 1e-8
+    tol_ktratio: float = 1e-6
+
+    # reduced accuracy tolerances (reference: src/settings.jl:90-95)
+    reduced_tol_gap_abs: float = 5e-5
+    reduced_tol_gap_rel: float = 5e-5
+    reduced_tol_feas: float = 1e-4
+    reduced_tol_infeas_abs: float = 5e-12
+    reduced_tol_infeas_rel: float = 5e-5
+    reduced_tol_ktratio: float = 1e-4
+
+    # data equilibration (reference: src/settings.jl:98-101)
+    equilibrate_enable: bool = True
+    equilibrate_max_iter: int = 10
+    equilibrate_min_scaling: float = 1e-4
+    equilibrate_max_scaling: float = 1e4
+
+    # cones and line search (reference: src/settings.jl:104-106)
+    linesearch_backtrack_step: float = 0.8
+    min_switch_step_length: float = 1e-1
+    min_terminate_step_length: float = 1e-4
+
+    # linear solver selection.  "dense" = dense quasidefinite LDL kernel,
+    # "auto" resolves by problem structure at setup time.
+    direct_solve_method: str = "auto"
+
+    # static regularization (reference: src/settings.jl:117-119)
+    static_regularization_enable: bool = True
+    static_regularization_constant: float = 1e-8
+    static_regularization_proportional: float = np.finfo(np.float64).eps ** 2
+
+    # dynamic regularization (reference: src/settings.jl:122-124)
+    dynamic_regularization_enable: bool = True
+    dynamic_regularization_eps: float = 1e-13
+    dynamic_regularization_delta: float = 2e-7
+
+    # iterative refinement (reference: src/settings.jl:127-132)
+    iterative_refinement_enable: bool = True
+    iterative_refinement_reltol: float = 1e-13
+    iterative_refinement_abstol: float = 1e-12
+    iterative_refinement_max_iter: int = 10
+    iterative_refinement_stop_ratio: float = 5.0
+
+    # preprocessing (reference: src/settings.jl:135-136)
+    presolve_enable: bool = True
+    input_sparse_dropzeros: bool = False
+
+    # chordal decomposition (reference: src/settings.jl:139-142)
+    chordal_decomposition_enable: bool = True
+    chordal_decomposition_merge_method: str = "clique_graph"
+    chordal_decomposition_compact: bool = True
+    chordal_decomposition_complete_dual: bool = True
+
+    # ---- TPU-native additions (no reference analogue) ----
+    # trace/compile dtype of the solver core
+    dtype: str = "float64"
+    # factorization dtype; may be lower precision than `dtype`, with
+    # iterative refinement recovering full accuracy (mixed-precision mode)
+    factor_dtype: Optional[str] = None
+    # bound on the barrier backtrack line search trip count inside jit
+    # (reference uses a 50-iteration loop, src/solver.jl:432)
+    linesearch_max_iter: int = 50
+
+    def __post_init__(self):
+        if self.factor_dtype is None:
+            self.factor_dtype = self.dtype
+
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Settings":
+        """reference: src/settings.jl:160-166 (settings_populate!)"""
+        valid = {f.name for f in dataclasses.fields(Settings)}
+        unknown = set(d) - valid
+        if unknown:
+            raise ValueError(f"unknown settings: {sorted(unknown)}")
+        return Settings(**d)

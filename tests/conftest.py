@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh and x64 mode.
+
+Multi-chip sharding tests run on CPU with
+--xla_force_host_platform_device_count=8 (no TPU hardware needed);
+numerical tests require x64.  Both must be configured before jax imports.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
