@@ -1,0 +1,81 @@
+"""Batched solving: vmapped IPM over instance batches with masking.
+
+No reference analogue (the reference loops over solves); correctness is
+checked by comparing each batched solution against the single-instance
+solver on the same data.
+"""
+
+import numpy as np
+import pytest
+
+from clarabel_tpu import (
+    BatchSolver,
+    NonnegativeConeT,
+    SecondOrderConeT,
+    Settings,
+    Solver,
+    SolverStatus,
+)
+
+
+def make_random_socp(rng, n=6):
+    """Small random SOCP: min q'x + ½x'Px s.t. ||x|| <= r, x <= u."""
+    F = rng.standard_normal((n, n)) / np.sqrt(n)
+    P = F @ F.T + 0.5 * np.eye(n)
+    q = rng.standard_normal(n)
+    # x <= u (nonneg cone on u - x), ||x|| <= r (SOC)
+    u = rng.uniform(0.5, 1.5, n)
+    r = rng.uniform(1.0, 2.0)
+    A = np.vstack([np.eye(n), np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([u, [r], np.zeros(n)])
+    return P, q, A, b
+
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(7)
+    B, n = 8, 6
+    cones = [NonnegativeConeT(n), SecondOrderConeT(n + 1)]
+
+    probs = [make_random_socp(rng, n) for _ in range(B)]
+    P = np.stack([p[0] for p in probs])
+    q = np.stack([p[1] for p in probs])
+    A = np.stack([p[2] for p in probs])
+    b = np.stack([p[3] for p in probs])
+
+    bs = BatchSolver(cones, n)
+    out = bs.solve(P, q, A, b)
+    assert out.all_solved
+
+    for i in range(B):
+        sol = Solver(probs[i][0], probs[i][1], probs[i][2], probs[i][3],
+                     cones).solve()
+        assert sol.status == SolverStatus.SOLVED
+        assert np.linalg.norm(out.x[i] - sol.x) < 1e-7, f"instance {i}"
+        assert abs(out.obj_val[i] - sol.obj_val) < 1e-7
+
+
+def test_batch_mixed_feasibility():
+    """Instances that are infeasible must report certificates without
+    disturbing the solved lanes (per-instance status masking)."""
+    rng = np.random.default_rng(3)
+    n = 4
+    cones = [NonnegativeConeT(2 * n)]
+    # feasible box problem: 0 <= x <= 1
+    A1 = np.vstack([np.eye(n), -np.eye(n)])
+    b1 = np.concatenate([np.ones(n), np.zeros(n)])
+    # infeasible: x <= -1, x >= 0
+    b2 = np.concatenate([-np.ones(n), np.zeros(n)])
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    q = rng.standard_normal(n)
+
+    Pb = np.stack([P, P])
+    qb = np.stack([q, q])
+    Ab = np.stack([A1, A1])
+    bb = np.stack([b1, b2])
+
+    bs = BatchSolver(cones, n)
+    out = bs.solve(Pb, qb, Ab, bb)
+    assert out.status[0] == int(SolverStatus.SOLVED)
+    assert out.status[1] == int(SolverStatus.PRIMAL_INFEASIBLE)
+    assert out.r_prim[0] < 1e-8
