@@ -142,7 +142,22 @@ class Solver:
                 cones = pres.reduced_cones
                 m = b.shape[0]
 
-        self._P_full = _symmetrize_triu(P)
+        # chordal decomposition of sparse PSD cones
+        # (reference: src/chordal/, applied inside DefaultProblemData ctor)
+        self.chordal_info = None
+        self._n_orig = n
+        P_sym0 = _symmetrize_triu(P)
+        from .chordal import try_chordal_decomposition
+
+        chordal = try_chordal_decomposition(
+            P_sym0, q, A, b, list(cones), self.settings
+        )
+        if chordal is not None:
+            self.chordal_info, P_sym0, q, A, b, cones = chordal
+            P = P_sym0
+            n, m = A.shape[1], A.shape[0]
+
+        self._P_full = P_sym0
         self._q = q
         self._A = A
         self._b = b
@@ -180,6 +195,14 @@ class Solver:
         status = SolverStatus(int(out["status"]))
         x = out["x"]
         z, s = out["z"], out["s"]
+
+        # reverse chordal decomposition (reference: src/solution.jl:31-36)
+        if self.chordal_info is not None:
+            from .chordal.decomp import decomp_reverse
+
+            x, z, s = decomp_reverse(
+                self.chordal_info, x, z, s, self.cones, self.settings
+            )
 
         # reverse presolve (reference: src/presolver.jl:85-107)
         if self.presolver is not None:

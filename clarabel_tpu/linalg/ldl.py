@@ -79,6 +79,41 @@ def ldl_solve(L, d, b):
     return x[:, 0] if squeeze else x
 
 
+def invert_unit_lower(L):
+    """Explicit inverse of a unit lower-triangular matrix in O(log n)
+    matmul steps.
+
+    With N the strictly-lower part, L = I + N and N is nilpotent, so
+       L⁻¹ = Σ_k (−N)^k = Π_j (I + (−N)^(2^j)).
+    Each factor is one MXU matmul; total depth is 2·ceil(log2 n) matmuls
+    instead of n sequential substitution steps.  This converts every
+    subsequent triangular solve into two matmuls, which is the profitable
+    trade on TPU where small sequential steps are latency-bound.
+    """
+    import math
+
+    n = L.shape[-1]
+    A = -(L - jnp.eye(n, dtype=L.dtype))  # A = -N, nilpotent
+    inv = jnp.eye(n, dtype=L.dtype) + A
+    power = A
+    steps = max(0, math.ceil(math.log2(n)) - 1) if n > 1 else 0
+    for _ in range(steps):
+        power = power @ power
+        inv = inv + inv @ power
+    return inv
+
+
+def ldl_solve_via_inverse(Linv, d, b):
+    """Solve (L D Lᵀ) x = b given the explicit L⁻¹: two matmuls + scale."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    y = Linv @ b
+    y = y / d[:, None]
+    x = Linv.T @ y
+    return x[:, 0] if squeeze else x
+
+
 def ldl_factor_blocked(K, signs, dyn_eps=1e-13, dyn_delta=2e-7,
                        dynamic_enable=True, block=128):
     """Blocked right-looking LDLᵀ: diagonal blocks factored with the
