@@ -187,6 +187,12 @@ class Solver:
         """reference: src/solver.jl:189-380"""
         if not self._setup_done:
             raise RuntimeError("call setup() before solve()")
+        if self.settings.verbose:
+            from . import info_print
+
+            info_print.print_banner()
+            info_print.print_configuration(self)
+            info_print.print_status_header()
         t0 = time.perf_counter()
         out = self._solve_fn(self._P_full, self._q, self._A, self._b)
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -229,7 +235,9 @@ class Solver:
             solve_time=solve_time, status=status,
         )
         if self.settings.verbose:
-            print(self.solution)
+            from . import info_print
+
+            info_print.print_footer(self.solution)
         return self.solution
 
     # ------------------------------------------------------------------
@@ -238,3 +246,38 @@ class Solver:
 
     def get_info(self) -> DefaultInfo:
         return self.info
+
+    # data updating for warm re-solves (reference: src/data_updating.jl)
+    def update_data(self, P=None, q=None, A=None, b=None):
+        from . import data_updating as du
+
+        du.update_data(self, P, q, A, b)
+
+    def update_P(self, P):
+        from . import data_updating as du
+
+        du.update_P(self, P)
+
+    def update_q(self, q):
+        from . import data_updating as du
+
+        du.update_q(self, q)
+
+    def update_A(self, A):
+        from . import data_updating as du
+
+        du.update_A(self, A)
+
+    def update_b(self, b):
+        from . import data_updating as du
+
+        du.update_b(self, b)
+
+    def is_data_update_allowed(self) -> bool:
+        from .data_updating import _check_update_allowed
+
+        try:
+            _check_update_allowed(self)
+            return True
+        except ValueError:
+            return False

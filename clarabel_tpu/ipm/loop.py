@@ -347,6 +347,11 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
             mu = (res.dot_sz + tau * kappa) / (degree + 1)
             info = compute_info(res, x, z, s, tau, kappa, equil, normq, normb)
 
+            if settings.verbose:
+                from ..info_print import debug_print_iteration
+
+                debug_print_iteration(carry.iters, info, mu, carry.alpha)
+
             status = check_convergence(info, res, full_tols)
 
             # poor progress checks (reference: src/info.jl:79-104)

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..linalg.ldl import ldl_factor, ldl_solve
+from ..linalg.ldl import (
+    ldl_factor, ldl_solve, invert_unit_lower, ldl_solve_via_inverse,
+)
 
 
 class KKTFactor(NamedTuple):
@@ -34,6 +36,28 @@ class KKTFactor(NamedTuple):
     d: jnp.ndarray
     K_true: jnp.ndarray  # unregularized KKT matrix (for iterative refinement)
     ok: jnp.ndarray      # scalar bool
+    Linv: jnp.ndarray    # explicit L⁻¹ (zeros-shaped dummy when disabled)
+
+
+def _use_inverse(settings, N: int) -> bool:
+    flag = getattr(settings, "dense_solve_via_inverse", None)
+    if flag is None:
+        # latency-bound regime: explicit inverse wins for small/medium KKT
+        return N <= 512
+    return bool(flag)
+
+
+def _factor_solve(fac: KKTFactor, rhs):
+    """Apply the factorization at its own dtype, returning rhs's dtype
+    (mixed precision: f32 factor applied to f64 residuals, accumulation
+    stays in f64)."""
+    out_dtype = rhs.dtype
+    rhs_f = rhs.astype(fac.L.dtype)
+    if fac.Linv.size > 1:
+        x = ldl_solve_via_inverse(fac.Linv, fac.d, rhs_f)
+    else:
+        x = ldl_solve(fac.L, fac.d, rhs_f)
+    return x.astype(out_dtype)
 
 
 def assemble_and_factor(P, A, Hs, signs, settings):
@@ -53,14 +77,23 @@ def assemble_and_factor(P, A, Hs, signs, settings):
     else:
         K_reg = K_true
 
+    # optional lower-precision factorization: iterative refinement against
+    # the full-precision K_true recovers accuracy (mixed-precision mode)
+    factor_dtype = jnp.dtype(settings.factor_dtype)
+    K_fac = K_reg.astype(factor_dtype)
+
     L, d, ok = ldl_factor(
-        K_reg,
-        signs,
+        K_fac,
+        signs.astype(factor_dtype),
         dyn_eps=settings.dynamic_regularization_eps,
         dyn_delta=settings.dynamic_regularization_delta,
         dynamic_enable=settings.dynamic_regularization_enable,
     )
-    return KKTFactor(L, d, K_true, ok)
+    if _use_inverse(settings, n + m):
+        Linv = invert_unit_lower(L)
+    else:
+        Linv = jnp.zeros((1,), K_true.dtype)
+    return KKTFactor(L, d, K_true, ok, Linv)
 
 
 def solve_refined(fac: KKTFactor, rhs, settings):
@@ -68,7 +101,7 @@ def solve_refined(fac: KKTFactor, rhs, settings):
 
     Returns (x, ok) where ok indicates a finite refined residual.
     """
-    x = ldl_solve(fac.L, fac.d, rhs)
+    x = _factor_solve(fac, rhs)
 
     if not settings.iterative_refinement_enable:
         return x, jnp.all(jnp.isfinite(x))
@@ -92,7 +125,7 @@ def solve_refined(fac: KKTFactor, rhs, settings):
 
     def body(carry):
         i, x, e, norme, done, ok = carry
-        dx = ldl_solve(fac.L, fac.d, e)
+        dx = _factor_solve(fac, e)
         xnew = x + dx
         enew = rhs - fac.K_true @ xnew
         nn = jnp.max(jnp.abs(enew))
