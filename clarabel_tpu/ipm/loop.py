@@ -339,7 +339,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
         def loop_cond(carry: Carry):
             return carry.status == int(SolverStatus.UNSOLVED)
 
-        def loop_body(carry: Carry) -> Carry:
+        def make_loop_body(factor_dtype):
+            return lambda carry: loop_body(carry, factor_dtype)
+
+        def loop_body(carry: Carry, factor_dtype) -> Carry:
             x, z, s, tau, kappa = carry.x, carry.z, carry.s, carry.tau, carry.kappa
 
             # -------- top-of-loop: residuals, info, termination --------
@@ -436,7 +439,9 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                 iters = carry.iters + 1
 
                 Hs = cone_ops.hs_dense(layout, state, dtype)
-                fac = kkt.assemble_and_factor(P, A, Hs, signs, settings)
+                fac = kkt.assemble_and_factor(
+                    P, A, Hs, signs, settings, factor_dtype=factor_dtype
+                )
                 ok_kkt = jnp.logical_and(fac.ok, ok_scale)
 
                 # constant-part solve [-q; b] -> (x2, z2)
@@ -594,7 +599,28 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
 
             return lax.cond(done_or_restart, skip_step, do_step, None)
 
-        final = lax.while_loop(loop_cond, loop_body, carry0)
+        if getattr(settings, "mixed_precision", False):
+            # two-phase precision schedule: factor in f32 while the barrier
+            # parameter is large (native MXU speed), hand off to the
+            # full-precision factorization for the final sharpening
+            # iterations where cond(KKT) ~ 1/μ² exceeds f32 range.
+            mu_switch = settings.mixed_precision_mu_switch
+
+            def phase1_cond(carry: Carry):
+                return jnp.logical_and(
+                    loop_cond(carry), carry.mu > mu_switch
+                )
+
+            mid = lax.while_loop(
+                phase1_cond, make_loop_body("float32"), carry0
+            )
+            final = lax.while_loop(
+                loop_cond, make_loop_body(settings.factor_dtype), mid
+            )
+        else:
+            final = lax.while_loop(
+                loop_cond, make_loop_body(settings.factor_dtype), carry0
+            )
 
         # ---- post-processing (reference: src/solver.jl:366-370) ----
         res = compute_residuals(P, q, A, b, final.x, final.z, final.s,

@@ -47,6 +47,21 @@ def _use_inverse(settings, N: int) -> bool:
     return bool(flag)
 
 
+def _use_pallas(settings, factor_dtype, N: int) -> bool:
+    flag = getattr(settings, "use_pallas", None)
+    if flag is not None and not flag:
+        return False
+    if jnp.dtype(factor_dtype) != jnp.float32:
+        return False  # the lane-batched kernel is f32
+    if N > 80:
+        return False  # VMEM block budget
+    if flag:
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def _factor_solve(fac: KKTFactor, rhs):
     """Apply the factorization at its own dtype, returning rhs's dtype
     (mixed precision: f32 factor applied to f64 residuals, accumulation
@@ -60,7 +75,7 @@ def _factor_solve(fac: KKTFactor, rhs):
     return x.astype(out_dtype)
 
 
-def assemble_and_factor(P, A, Hs, signs, settings):
+def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
     """Build K, apply static regularization, LDL-factor."""
     n = P.shape[0]
     m = A.shape[0]
@@ -79,8 +94,25 @@ def assemble_and_factor(P, A, Hs, signs, settings):
 
     # optional lower-precision factorization: iterative refinement against
     # the full-precision K_true recovers accuracy (mixed-precision mode)
-    factor_dtype = jnp.dtype(settings.factor_dtype)
+    if factor_dtype is None:
+        factor_dtype = settings.factor_dtype
+    factor_dtype = jnp.dtype(factor_dtype)
     K_fac = K_reg.astype(factor_dtype)
+
+    if _use_pallas(settings, factor_dtype, n + m):
+        # fused lane-batched Pallas factor+inverse; under the batched
+        # solver's vmap this hits one kernel for the whole instance batch
+        from ..linalg.pallas_ldl import make_factor_inverse
+        import numpy as _np
+
+        fi = make_factor_inverse(
+            _np.asarray(signs),
+            settings.dynamic_regularization_eps,
+            settings.dynamic_regularization_delta,
+            settings.dynamic_regularization_enable,
+        )
+        Linv, d, ok = fi(K_fac)
+        return KKTFactor(Linv, d, K_true, ok, Linv)
 
     L, d, ok = ldl_factor(
         K_fac,

@@ -96,6 +96,13 @@ class Settings:
     # bound on the barrier backtrack line search trip count inside jit
     # (reference uses a 50-iteration loop, src/solver.jl:432)
     linesearch_max_iter: int = 50
+    # two-phase precision schedule: factor in f32 while mu > mu_switch,
+    # then in factor_dtype; iterative refinement recovers full accuracy
+    mixed_precision: bool = False
+    mixed_precision_mu_switch: float = 1e-4
+    # Pallas kernels for the batched factorization hot path
+    # (None = auto: on for f32 factors on TPU backends)
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self):
         if self.factor_dtype is None:
