@@ -48,9 +48,10 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
         # column inf-norms of the KKT block [P Aᵀ; A 0]
         # (reference: src/utils/mathutils.jl:129-141 kkt_col_norms!)
         dwork = jnp.maximum(
-            jnp.max(jnp.abs(P), axis=0), jnp.max(jnp.abs(A), axis=0)
+            jnp.max(jnp.abs(P), axis=0, initial=0.0),
+            jnp.max(jnp.abs(A), axis=0, initial=0.0),
         )
-        ework = jnp.max(jnp.abs(A), axis=1)
+        ework = jnp.max(jnp.abs(A), axis=1, initial=0.0)
         dwork = jnp.where(dwork == 0, 1.0, dwork)
         ework = jnp.where(ework == 0, 1.0, ework)
         dwork = 1.0 / jnp.sqrt(dwork)
@@ -68,7 +69,7 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
         e = e * ework
 
         # cost scaling (reference: problemdata.jl:185-201)
-        mean_col_norm_P = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+        mean_col_norm_P = jnp.mean(jnp.max(jnp.abs(P), axis=0, initial=0.0))
         inf_norm_q = jnp.max(jnp.abs(q)) if n > 0 else jnp.asarray(0.0, dtype)
         do_cost = jnp.logical_and(mean_col_norm_P != 0, inf_norm_q != 0)
         scale_cost = jnp.maximum(inf_norm_q, mean_col_norm_P)

@@ -307,8 +307,8 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
 
         # -- equilibration (reference: src/problemdata.jl:133-221)
         P, A, q, b, equil = ruiz_equilibrate(layout, settings, P, A, q, b)
-        normq = jnp.max(jnp.abs(equil.dinv * q)) / equil.c
-        normb = jnp.max(jnp.abs(equil.einv * b))
+        normq = jnp.max(jnp.abs(equil.dinv * q), initial=0.0) / equil.c
+        normb = jnp.max(jnp.abs(equil.einv * b), initial=0.0)
 
         # -- initial point
         x0, z0, s0, tau0, kappa0 = default_start(P, q, A, b)

@@ -114,14 +114,39 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
         Linv, d, ok = fi(K_fac)
         return KKTFactor(Linv, d, K_true, ok, Linv)
 
-    L, d, ok = ldl_factor(
-        K_fac,
-        signs.astype(factor_dtype),
-        dyn_eps=settings.dynamic_regularization_eps,
-        dyn_delta=settings.dynamic_regularization_delta,
-        dynamic_enable=settings.dynamic_regularization_enable,
-    )
-    if _use_inverse(settings, n + m):
+    N = n + m
+    if N > 512:
+        # blocked right-looking factorization: panel solves + one MXU
+        # Schur-update matmul per 128-column block step
+        from ..linalg.ldl import ldl_factor_blocked
+
+        pad = (-N) % 128
+        if pad:
+            Kp = jnp.zeros((N + pad, N + pad), K_fac.dtype)
+            Kp = Kp.at[:N, :N].set(K_fac)
+            Kp = Kp.at[jnp.arange(N, N + pad), jnp.arange(N, N + pad)].set(1.0)
+            sp = jnp.concatenate(
+                [signs.astype(factor_dtype),
+                 jnp.ones((pad,), factor_dtype)]
+            )
+        else:
+            Kp, sp = K_fac, signs.astype(factor_dtype)
+        Lp, dp, ok = ldl_factor_blocked(
+            Kp, sp,
+            dyn_eps=settings.dynamic_regularization_eps,
+            dyn_delta=settings.dynamic_regularization_delta,
+            dynamic_enable=settings.dynamic_regularization_enable,
+        )
+        L, d = Lp[:N, :N], dp[:N]
+    else:
+        L, d, ok = ldl_factor(
+            K_fac,
+            signs.astype(factor_dtype),
+            dyn_eps=settings.dynamic_regularization_eps,
+            dyn_delta=settings.dynamic_regularization_delta,
+            dynamic_enable=settings.dynamic_regularization_enable,
+        )
+    if _use_inverse(settings, N):
         Linv = invert_unit_lower(L)
     else:
         Linv = jnp.zeros((1,), K_true.dtype)
