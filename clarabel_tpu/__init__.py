@@ -21,6 +21,9 @@ Settings).
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to reduced internal precision (bf16 passes); a
+# 1e-8-tolerance solver needs true f32 accumulation in its f32 phases.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 from .settings import Settings
 from .statuscodes import SolverStatus

@@ -55,11 +55,10 @@ def _use_pallas(settings, factor_dtype, N: int) -> bool:
         return False  # the lane-batched kernel is f32
     if N > 80:
         return False  # VMEM block budget
-    if flag:
-        return True
-    import jax
-
-    return jax.default_backend() != "cpu"
+    # opt-in only: the axon remote Mosaic compiler in this environment
+    # rejects kernels ("failed to legalize func.return"); enable
+    # explicitly via Settings(use_pallas=True) where Pallas works
+    return bool(flag)
 
 
 def _factor_solve(fac: KKTFactor, rhs):

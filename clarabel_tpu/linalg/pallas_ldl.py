@@ -29,30 +29,36 @@ LANE_BATCH = 128
 def _ldl_inv_kernel(signs_ref, k_ref, linv_ref, d_ref, *, n, dyn_eps,
                     dyn_delta, dynamic_enable):
     """One program handles LANE_BATCH instances: refs are
-    k_ref (n, n, BL), linv_ref (n, n, BL), d_ref (n, BL)."""
-    K = k_ref[:]                       # (n, n, BL)
-    M = jnp.zeros_like(K)              # becomes L^{-1}
-    for i in range(n):
-        M = M.at[i, i, :].set(1.0)
+    k_ref (n, n, BL), linv_ref (n, n, BL), d_ref (n, BL).
 
+    All updates are full-shape masked tensor ops (no indexed scatters —
+    those do not lower on TPU); the mask arithmetic guarantees only the
+    trailing submatrix changes at each elimination step."""
+    K = k_ref[:]                       # (n, n, BL)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)       # (n, 1)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+    M = jnp.where(eye[:, :, None], 1.0, 0.0).astype(K.dtype)    # -> L^{-1}
+
+    d_cols = []
     for j in range(n):
         pivot = K[j, j, :]             # (BL,)
         if dynamic_enable:
-            sj = signs_ref[j]
+            sj = signs_ref[j, 0]
             pivot = jnp.where(sj * pivot < dyn_eps, sj * dyn_delta, pivot)
-        d_ref[j, :] = pivot
+        d_cols.append(pivot)
         pivot_safe = jnp.where(pivot != 0, pivot, 1.0)
-        if j + 1 < n:
-            col = K[j + 1:, j, :] / pivot_safe[None, :]        # (r, BL)
-            # trailing Schur update: K[j+1:, j+1:] -= col d col'
-            upd = col[:, None, :] * (pivot_safe[None, :] * col)[None, :, :]
-            K = K.at[j + 1:, j + 1:, :].add(-upd)
-            # accumulate inverse: M[i, :] -= col[i-j-1] * M[j, :]
-            Mj = M[j, :, :]                                    # (n, BL)
-            M = M.at[j + 1:, :, :].add(
-                -col[:, None, :] * Mj[None, :, :]
-            )
+        # masked column of L: rows strictly below the pivot
+        below = (rows > j)                                      # (n, 1)
+        col = jnp.where(below, K[:, j, :] / pivot_safe[None, :], 0.0)
+        # trailing update: outer product of the masked column only
+        # touches entries (i > j, k > j); row/column j stay intact
+        K = K - col[:, None, :] * (pivot_safe[None, :] * col)[None, :, :]
+        # inverse accumulation: M[i,:] -= col[i] * M[j,:]  for i > j
+        M = M - col[:, None, :] * M[j][None, :, :]
+
     linv_ref[:] = M
+    d_ref[:] = jnp.stack(d_cols, axis=0)
 
 
 @functools.partial(
@@ -97,7 +103,7 @@ def batched_ldl_inverse(K, signs, dyn_eps=1e-13, dyn_delta=2e-7,
             jax.ShapeDtypeStruct((n, B), dtype),
         ],
         interpret=interpret,
-    )(signs.astype(dtype), Kt)
+    )(signs.astype(dtype).reshape(n, 1), Kt)
 
     Linv = jnp.transpose(linv_t, (2, 0, 1))
     d = jnp.transpose(d_t, (1, 0))
