@@ -444,24 +444,18 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                 )
                 ok_kkt = jnp.logical_and(fac.ok, ok_scale)
 
-                # constant-part solve [-q; b] -> (x2, z2)
-                # (reference: src/kktsystem.jl:80-92)
-                x2, z2, ok1 = kkt.kkt_solve_xz(fac, -q, b, settings)
+                # fused multi-RHS solve: constant part [-q; b] -> (x2, z2)
+                # (reference: src/kktsystem.jl:80-92) together with the
+                # affine step's inner solve (both RHS are factor-time known)
+                aff_ds = cone_ops.affine_ds(layout, state, s)
+                x2, z2, x1a, z1a, ok1 = kkt.kkt_solve_xz2(
+                    fac, -q, b, res.rx, s - res.rz, settings
+                )
                 ok_kkt = jnp.logical_and(ok_kkt, ok1)
 
-                def kkt_solve(rhs_x, rhs_z, rhs_s, rhs_tau, rhs_kappa, combined):
-                    """3-stage solve with two-solve τ recovery.
-                    reference: src/kktsystem.jl:135-215"""
-                    if combined:
-                        ds_const = cone_ops.ds_from_dz_offset(
-                            layout, state, rhs_s, z
-                        )
-                    else:
-                        ds_const = s
-                    workx = rhs_x
-                    workz = ds_const - rhs_z
-                    x1, z1, okA = kkt.kkt_solve_xz(fac, workx, workz, settings)
-
+                def tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa):
+                    """Stage 2+3 of the 3-stage solve: two-solve τ
+                    recovery.  reference: src/kktsystem.jl:135-215"""
                     xi = x / tau
                     tau_num = (
                         rhs_tau - rhs_kappa / tau + q @ x1 + b @ z1
@@ -477,14 +471,24 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                     dz = z1 + dtau * z2
                     ds = -(cone_ops.mul_Hs(layout, state, dz) + ds_const)
                     dkappa = -(rhs_kappa + kappa * dtau) / tau
-                    return dx, dz, ds, dtau, dkappa, okA
+                    return dx, dz, ds, dtau, dkappa
 
-                # affine step (reference: src/variables.jl:107-121)
-                aff_ds = cone_ops.affine_ds(layout, state, s)
-                dxa, dza, dsa, dtaua, dkappaa, ok2 = kkt_solve(
-                    res.rx, res.rz, aff_ds, res.rtau, tau * kappa, combined=False
+                def kkt_solve(rhs_x, rhs_z, rhs_s, rhs_tau, rhs_kappa):
+                    """Combined-step solve (RHS depends on affine results)."""
+                    ds_const = cone_ops.ds_from_dz_offset(
+                        layout, state, rhs_s, z
+                    )
+                    x1, z1, okA = kkt.kkt_solve_xz(
+                        fac, rhs_x, ds_const - rhs_z, settings
+                    )
+                    out = tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa)
+                    return (*out, okA)
+
+                # affine step (reference: src/variables.jl:107-121);
+                # ds_const = s in the affine case
+                dxa, dza, dsa, dtaua, dkappaa = tau_recovery(
+                    x1a, z1a, s, res.rtau, tau * kappa
                 )
-                ok_kkt = jnp.logical_and(ok_kkt, ok2)
 
                 alpha_aff = calc_step_length(
                     dza, dsa, dtaua, dkappaa, z, s, tau, kappa, state,
@@ -510,7 +514,7 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                 )
 
                 dx, dz, ds, dtau, dkappa, ok3 = kkt_solve(
-                    comb_x, comb_z, comb_s, comb_tau, comb_kappa, combined=True
+                    comb_x, comb_z, comb_s, comb_tau, comb_kappa
                 )
                 ok_kkt = jnp.logical_and(ok_kkt, ok3)
 

@@ -206,3 +206,14 @@ def kkt_solve_xz(fac: KKTFactor, bx, bz, settings):
     rhs = jnp.concatenate([bx, bz])
     sol, ok = solve_refined(fac, rhs, settings)
     return sol[:n], sol[n:], ok
+
+
+def kkt_solve_xz2(fac: KKTFactor, bx1, bz1, bx2, bz2, settings):
+    """Two KKT solves as one multi-RHS solve (shared factor application +
+    joint iterative refinement): returns (x1, z1, x2, z2, ok)."""
+    n = bx1.shape[0]
+    rhs = jnp.stack(
+        [jnp.concatenate([bx1, bz1]), jnp.concatenate([bx2, bz2])], axis=1
+    )
+    sol, ok = solve_refined(fac, rhs, settings)
+    return sol[:n, 0], sol[n:, 0], sol[:n, 1], sol[n:, 1], ok
