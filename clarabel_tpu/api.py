@@ -99,6 +99,7 @@ class Solver:
         self.solution: Optional[DefaultSolution] = None
         self.info = DefaultInfo()
         self._setup_done = False
+        self._first_solve_time = None
         if P is not None:
             self.setup(P, q, A, b, cones)
 
@@ -173,10 +174,16 @@ class Solver:
                      dataclasses.astuple(self.settings))
         if cache_key not in _SOLVE_CACHE:
             import jax
-            _SOLVE_CACHE[cache_key] = jax.jit(
-                build_solve(self.layout, self.settings, n, p_nonzero)
+
+            base = build_solve(self.layout, self.settings, n, p_nonzero)
+            _SOLVE_CACHE[cache_key] = (
+                jax.jit(base),
+                jax.jit(base.prepare),
+                jax.jit(base.run_phases),
+                jax.jit(base.finalize),
             )
-        self._solve_fn = _SOLVE_CACHE[cache_key]
+        (self._solve_fn, self._prepare_fn, self._chunk_fn,
+         self._finalize_fn) = _SOLVE_CACHE[cache_key]
 
         self._setup_time = time.perf_counter() - t0
         self._setup_done = True
@@ -194,10 +201,17 @@ class Solver:
             info_print.print_configuration(self)
             info_print.print_status_header()
         t0 = time.perf_counter()
-        out = self._solve_fn(self._P_full, self._q, self._A, self._b)
+        if np.isfinite(self.settings.time_limit):
+            out = self._solve_chunked(t0)
+        else:
+            out = self._solve_fn(self._P_full, self._q, self._A, self._b)
         out = {k: np.asarray(v) for k, v in out.items()}
         solve_time = time.perf_counter() - t0
+        if self._first_solve_time is None:
+            self._first_solve_time = solve_time
+        return self._package_solution(out, solve_time)
 
+    def _package_solution(self, out, solve_time) -> DefaultSolution:
         status = SolverStatus(int(out["status"]))
         x = out["x"]
         z, s = out["z"], out["s"]
@@ -241,6 +255,53 @@ class Solver:
         return self.solution
 
     # ------------------------------------------------------------------
+    def _solve_chunked(self, t0, chunk_iters: int = 25,
+                       checkpoint_cb=None, carry=None):
+        """Chunked execution: run the jitted loop `chunk_iters` IPM
+        iterations at a time, enforcing the wall-clock time limit between
+        chunks (reference checks solve_time per iteration,
+        src/info.jl:109-116) and optionally checkpointing the IPM state.
+        """
+        import jax.numpy as jnp
+
+        data, carry0 = self._prepare_fn(
+            self._P_full, self._q, self._A, self._b
+        )
+        if carry is None:
+            carry = carry0
+        while True:
+            cap = jnp.asarray(int(carry.iters) + chunk_iters, jnp.int32)
+            carry = self._chunk_fn(data, carry, cap)
+            if checkpoint_cb is not None:
+                checkpoint_cb(carry)
+            if int(carry.status) != int(SolverStatus.UNSOLVED):
+                break
+            if time.perf_counter() - t0 > self.settings.time_limit:
+                carry = carry._replace(
+                    status=jnp.asarray(int(SolverStatus.MAX_TIME), jnp.int32)
+                )
+                break
+        self._last_carry = carry
+        return self._finalize_fn(data, carry)
+
+    def save_checkpoint(self, path: str):
+        """Serialize the most recent IPM state (from a chunked solve)."""
+        if getattr(self, "_last_carry", None) is None:
+            raise RuntimeError("no IPM state available; run a chunked solve")
+        arrs = {f: np.asarray(v) for f, v in self._last_carry._asdict().items()}
+        np.savez(path, **arrs)
+
+    def resume_from_checkpoint(self, path: str) -> DefaultSolution:
+        """Continue a solve from a saved IPM state."""
+        from .ipm.loop import Carry
+
+        with np.load(path) as f:
+            carry = Carry(**{k: f[k] for k in f.files})
+        t0 = time.perf_counter()
+        out = self._solve_chunked(t0, carry=carry)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return self._package_solution(out, time.perf_counter() - t0)
+
     def get_solution(self) -> Optional[DefaultSolution]:
         return self.solution
 
@@ -281,3 +342,14 @@ class Solver:
             return True
         except ValueError:
             return False
+
+    def print_timers(self):
+        """Phase timing summary (reference: print_timers, src/solver.jl:534;
+        TimerOutputs tree reduced to the phases visible from the host —
+        the device computation is a single fused program, so per-phase
+        on-chip times are profiled with jax.profiler instead)."""
+        print(f"setup:          {self._setup_time:10.4f} s")
+        if self._first_solve_time is not None:
+            print(f"solve (first, incl. compile): {self._first_solve_time:10.4f} s")
+        if self.solution is not None:
+            print(f"solve (last):   {self.solution.solve_time:10.4f} s")

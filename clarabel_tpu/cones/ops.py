@@ -315,6 +315,92 @@ def mul_Hs(layout: ConeLayout, state: Dict, x):
     return y
 
 
+def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
+    """y = Hs⁻¹ x, applied per cone group with closed-form inverses.
+
+    Supports x of shape (m,) or (m, k).  Used by the condensed
+    (normal-equations) KKT backend; `eps_zero` regularizes the zero-cone
+    block (whose true Hs is 0 — equality rows), mirroring the static
+    regularization the reference applies to those KKT diagonals.
+
+    Inverses:
+      nonnegative: 1/w² elementwise
+      SOC (dense Hs = η²(2ww'−J)): Hs⁻¹ = η⁻²(2w̄w̄'−J), w̄ = Jw,
+        using (2ww'−J)⁻¹ = 2(Jw)(Jw)'−J for w'Jw = 1
+      PSD: Hs⁻¹ x = svec((RinvᵀRinv) X (RinvᵀRinv))
+      exp/pow: batched 3×3 solve against the stored Hs block
+      genpow: batched solve against the dense μ(D+pp'−qq'−rr') block
+    """
+    vec_in = x.ndim == 1
+    X = x[:, None] if vec_in else x
+    k = X.shape[1]
+    y = jnp.zeros_like(X)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            y = y.at[g.idx[0]].set(X[g.idx[0]] / eps_zero)
+        elif g.kind == "nn":
+            w = state[name]["w"]
+            y = y.at[g.idx[0]].set(X[g.idx[0]] / (w * w)[:, None])
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            wbar = w.at[:, 1:].multiply(-1.0)  # Jw
+            Xg = X[g.idx]                      # (c, d, k)
+            ccoef = 2.0 * jnp.einsum("cd,cdk->ck", wbar, Xg)
+            out = Xg.at[:, 0, :].multiply(-1.0)      # -J x = [-x0; x1]
+            out = out + ccoef[:, None, :] * wbar[:, :, None]
+            out = out / (eta**2)[:, None, None]
+            y = y.at[g.idx].set(out)
+        elif g.kind == "psd":
+            from . import psd as _psd
+
+            nmat = g.psd_n
+            t = g.width
+            Rinv = state[name]["Rinv"]
+            G = jnp.einsum("cji,cjk->cik", Rinv, Rinv)  # RinvᵀRinv
+            Xg = X[g.idx]  # (c, t, k)
+            # batch the svec<->mat conversion over the RHS columns
+            Xg2 = jnp.transpose(Xg, (0, 2, 1)).reshape(g.count * k, t)
+            M = _psd.svec_to_mat(Xg2, nmat).reshape(g.count, k, nmat, nmat)
+            out = jnp.einsum("cij,cqjk,ckl->cqil", G, M, G)
+            out2 = _psd.mat_to_svec(
+                out.reshape(g.count * k, nmat, nmat), nmat
+            ).reshape(g.count, k, t)
+            y = y.at[g.idx].set(jnp.transpose(out2, (0, 2, 1)))
+        elif g.kind in ("exp", "pow"):
+            Hs = state[name]["Hs"]
+            Xg = X[g.idx]
+            out = jnp.linalg.solve(Hs, Xg)
+            y = y.at[g.idx].set(out)
+        elif g.kind == "genpow":
+            d1 = g.dim1
+            mu = state[name]["mu"]
+            dvec = jnp.concatenate(
+                [state[name]["d1"],
+                 state[name]["d2"][:, None]
+                 * jnp.ones((g.count, g.dim2), X.dtype)],
+                axis=1,
+            )
+            qf = jnp.concatenate(
+                [state[name]["q"], jnp.zeros((g.count, g.dim2), X.dtype)],
+                axis=1,
+            )
+            rf = jnp.concatenate(
+                [jnp.zeros((g.count, d1), X.dtype), state[name]["r"]], axis=1
+            )
+            p = state[name]["p"]
+            blocks = (
+                jnp.eye(g.width, dtype=X.dtype)[None] * dvec[:, None, :]
+                + p[:, :, None] * p[:, None, :]
+                - qf[:, :, None] * qf[:, None, :]
+                - rf[:, :, None] * rf[:, None, :]
+            ) * mu
+            out = jnp.linalg.solve(blocks, X[g.idx])
+            y = y.at[g.idx].set(out)
+        else:
+            raise NotImplementedError(g.kind)
+    return y[:, 0] if vec_in else y
+
+
 # ---------------------------------------------------------------------------
 # step direction RHS components
 # ---------------------------------------------------------------------------

@@ -299,7 +299,8 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
         )
         return alpha
 
-    def solve(P, q, A, b):
+    def prepare(P, q, A, b):
+        """Equilibration + initial point; returns (data, initial carry)."""
         P = jnp.asarray(P, dtype)
         q = jnp.asarray(q, dtype)
         A = jnp.asarray(A, dtype)
@@ -327,6 +328,12 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
             status=jnp.asarray(int(SolverStatus.UNSOLVED), jnp.int32),
             scaling=jnp.asarray(scaling0, jnp.int32),
         )
+        return (P, q, A, b, equil, normq, normb), carry0
+
+    def run_phases(data, carry0, iter_cap):
+        """Run the IPM loop(s) until termination or carry.iters >= iter_cap
+        (a traced scalar, so chunked calls do not recompile)."""
+        P, q, A, b, equil, normq, normb = data
 
         full_tols = (
             settings.tol_gap_abs, settings.tol_gap_rel, settings.tol_feas,
@@ -337,7 +344,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
         )
 
         def loop_cond(carry: Carry):
-            return carry.status == int(SolverStatus.UNSOLVED)
+            return jnp.logical_and(
+                carry.status == int(SolverStatus.UNSOLVED),
+                carry.iters < iter_cap,
+            )
 
         def make_loop_body(factor_dtype):
             return lambda carry: loop_body(carry, factor_dtype)
@@ -439,18 +449,44 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                 iters = carry.iters + 1
 
                 Hs = cone_ops.hs_dense(layout, state, dtype)
-                fac = kkt.assemble_and_factor(
-                    P, A, Hs, signs, settings, factor_dtype=factor_dtype
-                )
+                use_condensed = settings.kkt_backend == "condensed"
+                if use_condensed:
+                    from ..kkt import condensed as kkt_cond
+
+                    fac, _ = kkt_cond.assemble_and_factor_condensed(
+                        P, A, Hs, layout, state, signs, settings,
+                        factor_dtype,
+                    )
+
+                    def solve_xz(bx, bz):
+                        return kkt_cond.kkt_solve_xz_condensed(
+                            fac, layout, state, bx, bz, settings
+                        )
+
+                    def solve_xz2(bx1, bz1, bx2, bz2):
+                        return kkt_cond.kkt_solve_xz2_condensed(
+                            fac, layout, state, bx1, bz1, bx2, bz2, settings
+                        )
+                else:
+                    fac = kkt.assemble_and_factor(
+                        P, A, Hs, signs, settings, factor_dtype=factor_dtype
+                    )
+
+                    def solve_xz(bx, bz):
+                        return kkt.kkt_solve_xz(fac, bx, bz, settings)
+
+                    def solve_xz2(bx1, bz1, bx2, bz2):
+                        return kkt.kkt_solve_xz2(
+                            fac, bx1, bz1, bx2, bz2, settings
+                        )
+
                 ok_kkt = jnp.logical_and(fac.ok, ok_scale)
 
                 # fused multi-RHS solve: constant part [-q; b] -> (x2, z2)
                 # (reference: src/kktsystem.jl:80-92) together with the
                 # affine step's inner solve (both RHS are factor-time known)
                 aff_ds = cone_ops.affine_ds(layout, state, s)
-                x2, z2, x1a, z1a, ok1 = kkt.kkt_solve_xz2(
-                    fac, -q, b, res.rx, s - res.rz, settings
-                )
+                x2, z2, x1a, z1a, ok1 = solve_xz2(-q, b, res.rx, s - res.rz)
                 ok_kkt = jnp.logical_and(ok_kkt, ok1)
 
                 def tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa):
@@ -478,9 +514,7 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                     ds_const = cone_ops.ds_from_dz_offset(
                         layout, state, rhs_s, z
                     )
-                    x1, z1, okA = kkt.kkt_solve_xz(
-                        fac, rhs_x, ds_const - rhs_z, settings
-                    )
+                    x1, z1, okA = solve_xz(rhs_x, ds_const - rhs_z)
                     out = tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa)
                     return (*out, okA)
 
@@ -625,6 +659,11 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
             final = lax.while_loop(
                 loop_cond, make_loop_body(settings.factor_dtype), carry0
             )
+        return final
+
+    def finalize(data, final):
+        """Post-processing: almost-checks, unscaling, certificates."""
+        P, q, A, b, equil, normq, normb = data
 
         # ---- post-processing (reference: src/solver.jl:366-370) ----
         res = compute_residuals(P, q, A, b, final.x, final.z, final.s,
@@ -647,7 +686,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
                 final.status == int(SolverStatus.NUMERICAL_ERROR),
                 final.status == int(SolverStatus.INSUFFICIENT_PROGRESS),
             ),
-            final.status == int(SolverStatus.MAX_ITERATIONS),
+            jnp.logical_or(
+                final.status == int(SolverStatus.MAX_ITERATIONS),
+                final.status == int(SolverStatus.MAX_TIME),
+            ),
         )
         almost_status = check_convergence(info, res, reduced_tols)
         status = jnp.where(
@@ -698,4 +740,13 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
             "kappa": final.kappa * scaleinv,
         }
 
+    def solve(P, q, A, b):
+        data, carry0 = prepare(P, q, A, b)
+        final = run_phases(data, carry0, jnp.asarray(2**30, jnp.int32))
+        return finalize(data, final)
+
+    # chunked-execution handles (checkpoint/resume, host-side time limits)
+    solve.prepare = prepare
+    solve.run_phases = run_phases
+    solve.finalize = finalize
     return solve

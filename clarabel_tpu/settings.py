@@ -103,6 +103,10 @@ class Settings:
     # Pallas kernels for the batched factorization hot path
     # (None = auto: on for f32 factors on TPU backends)
     use_pallas: Optional[bool] = None
+    # KKT backend: "ldl" (augmented quasidefinite LDL), "condensed"
+    # (normal equations + Cholesky, few large batched ops — fastest for
+    # vmapped small instances), or "auto" (currently ldl)
+    kkt_backend: str = "auto"
 
     def __post_init__(self):
         if self.factor_dtype is None:
