@@ -343,6 +343,34 @@ class Solver:
         except ValueError:
             return False
 
+    def linear_solver_info(self) -> dict:
+        """Backend description (reference: LinearSolverInfo, src/types.jl;
+        nnz(L) becomes the dense factor size)."""
+        N = self.n + self.m
+        backend = self.settings.kkt_backend
+        if backend == "auto":
+            backend = "ldl"
+        variant = (
+            "blocked" if (backend == "ldl" and N > 512) else "unblocked"
+        )
+        return {
+            "backend": backend,
+            "variant": variant,
+            "kkt_dim": N,
+            "factor_nnz": N * (N + 1) // 2 if backend == "ldl" else
+            self.n * (self.n + 1) // 2,
+            "factor_dtype": self.settings.factor_dtype,
+            "mixed_precision": self.settings.mixed_precision,
+        }
+
+    def profile_trace(self, log_dir: str):
+        """Context manager capturing a device profile of solves inside it
+        (the TPU counterpart of the reference's TimerOutputs tree;
+        inspect with TensorBoard / xprof)."""
+        import jax
+
+        return jax.profiler.trace(log_dir)
+
     def print_timers(self):
         """Phase timing summary (reference: print_timers, src/solver.jl:534;
         TimerOutputs tree reduced to the phases visible from the host —
