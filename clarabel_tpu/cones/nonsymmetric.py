@@ -22,7 +22,7 @@ from jax import lax
 
 from .layout import ConeGroup
 
-_BIG = 1e300
+_BIG = 1e30  # large-but-finite in both f32 and f64
 
 # exp-cone unit initialization constants
 # (reference: coneops_expcone.jl:36-52)

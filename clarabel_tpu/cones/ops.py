@@ -31,7 +31,7 @@ from . import psd as psd_ops
 from . import nonsymmetric as nonsym_ops
 
 # large-but-finite stand-in for floatmax in step length ratios
-_BIG = 1e300
+_BIG = 1e30  # large-but-finite in both f32 and f64
 
 
 def _gather(vec, g: ConeGroup):

@@ -33,7 +33,7 @@ from .equilibration import ruiz_equilibrate, Equilibration
 PRIMAL_DUAL = 0
 DUAL = 1
 
-_BIG = 1e300
+_BIG = 1e30  # large-but-finite in both f32 and f64
 
 
 class Residuals(NamedTuple):
