@@ -15,7 +15,15 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
+
+# persistent compilation cache: the headline program takes minutes to
+# compile through the remote TPU compiler; cache it across processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 
@@ -38,11 +46,28 @@ def make_batch(B, n, seed=0):
 
 
 def main():
-    from clarabel_tpu import BatchSolver, NonnegativeConeT, SecondOrderConeT
+    import os
+
+    from clarabel_tpu import (
+        BatchSolver, NonnegativeConeT, SecondOrderConeT, Settings,
+    )
     from clarabel_tpu.statuscodes import SolverStatus
 
+    # benchmark configuration: the condensed (normal-equations) backend is
+    # the fastest measured on-chip and keeps every instance under ~15
+    # iterations.  Override with BENCH_BACKEND=ldl-f64 / ldl-mixed /
+    # condensed-mixed.
+    mode = os.environ.get("BENCH_BACKEND", "condensed")
+    settings = {
+        "ldl-f64": Settings(),
+        "ldl-mixed": Settings(mixed_precision=True),
+        "condensed": Settings(kkt_backend="condensed"),
+        "condensed-mixed": Settings(kkt_backend="condensed",
+                                    mixed_precision=True),
+    }[mode]
+
     cones = [NonnegativeConeT(N), SecondOrderConeT(N + 1)]
-    bs = BatchSolver(cones, N)
+    bs = BatchSolver(cones, N, settings)
     data = make_batch(BATCH, N)
 
     # warm-up (compile)
