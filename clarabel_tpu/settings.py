@@ -126,3 +126,24 @@ class Settings:
         if unknown:
             raise ValueError(f"unknown settings: {sorted(unknown)}")
         return Settings(**d)
+
+    @staticmethod
+    def throughput(**overrides) -> "Settings":
+        """Preset for maximum batched throughput: full-f32 solve with
+        tolerances at the f32 accuracy floor and f32-appropriate
+        regularization.  Use when 1e-5-grade solutions suffice."""
+        base = dict(
+            dtype="float32",
+            kkt_backend="condensed",
+            tol_gap_abs=1e-5, tol_gap_rel=1e-5, tol_feas=1e-5,
+            tol_infeas_abs=1e-5, tol_infeas_rel=1e-5,
+            reduced_tol_gap_abs=1e-3, reduced_tol_gap_rel=1e-3,
+            reduced_tol_feas=1e-3,
+            static_regularization_constant=1e-6,
+            dynamic_regularization_eps=1e-7,
+            dynamic_regularization_delta=2e-5,
+            iterative_refinement_abstol=1e-6,
+            iterative_refinement_reltol=1e-6,
+        )
+        base.update(overrides)
+        return Settings(**base)
