@@ -42,6 +42,11 @@ from .io.json_io import save_to_file, load_from_file
 
 __version__ = "0.1.0"
 
+
+def version() -> str:
+    """reference: src/version.jl:1-16"""
+    return __version__
+
 # mirrors Clarabel.jl's module-level get/set infinity
 # (reference: src/Clarabel.jl:14-20)
 _INFINITY_DEFAULT = 1e20
