@@ -39,6 +39,9 @@ class ConeGroup:
     kind: str  # "zero" | "nn" | "soc" | "psd" | "exp" | "pow" | "genpow"
     # (count, width) gather indices into the length-m conic vector.  For the
     # elementwise kinds ("zero"/"nn") this is (1, k) — a single flat row.
+    # SOC groups may be *bucketed*: cones of different dims padded to a
+    # common width, with pad positions holding the out-of-bounds sentinel
+    # m (gathers fill 0, scatters drop) — zero-padding an SOC is exact.
     idx: np.ndarray
     # matrix side-dimension for "psd" groups, else 0
     psd_n: int = 0
@@ -47,6 +50,8 @@ class ConeGroup:
     # generalized power cone parameters: alpha (count, dim1), dim2
     dim1: int = 0
     dim2: int = 0
+    # (count,) true cone dims when bucketed/padded; None = width exact
+    true_dims: Optional[np.ndarray] = None
 
     @property
     def count(self) -> int:
@@ -65,7 +70,8 @@ class ConeLayout:
     structure.
     """
 
-    def __init__(self, cones: Sequence[SupportedCone]):
+    def __init__(self, cones: Sequence[SupportedCone],
+                 soc_bucketing: Optional[bool] = None):
         self.cones: Tuple[SupportedCone, ...] = tuple(cones)
         self.m = int(sum(nvars(c) for c in self.cones))
         self.degree = int(sum(cone_degree(c) for c in self.cones))
@@ -115,8 +121,34 @@ class ConeLayout:
             self.groups["zero"] = ConeGroup("zero", np.concatenate(zero_idx)[None, :])
         if nn_idx:
             self.groups["nn"] = ConeGroup("nn", np.concatenate(nn_idx)[None, :])
-        for dim in sorted(soc_by_dim):
-            self.groups[f"soc{dim}"] = ConeGroup("soc", np.stack(soc_by_dim[dim]))
+
+        # SOC bucketing: many distinct dims would each compile their own
+        # group of kernels; pad to power-of-two buckets instead (zero-pad
+        # of an SOC is exact: (s, 0) is interior iff s is).
+        if soc_bucketing is None:
+            soc_bucketing = len(soc_by_dim) > 2
+        if soc_bucketing and soc_by_dim:
+            buckets: Dict[int, List[Tuple[np.ndarray, int]]] = defaultdict(list)
+            for dim, rows in soc_by_dim.items():
+                bdim = max(4, 1 << (dim - 1).bit_length())
+                for r in rows:
+                    buckets[bdim].append((r, dim))
+            for bdim in sorted(buckets):
+                entries = buckets[bdim]
+                idx = np.full((len(entries), bdim), self.m, dtype=np.int32)
+                tdims = np.zeros(len(entries), dtype=np.int32)
+                for i, (r, dim) in enumerate(entries):
+                    idx[i, :dim] = r
+                    tdims[i] = dim
+                exact = bool(np.all(tdims == bdim))
+                self.groups[f"soc{bdim}b"] = ConeGroup(
+                    "soc", idx, true_dims=None if exact else tdims
+                )
+        else:
+            for dim in sorted(soc_by_dim):
+                self.groups[f"soc{dim}"] = ConeGroup(
+                    "soc", np.stack(soc_by_dim[dim])
+                )
         for n in sorted(psd_by_n):
             self.groups[f"psd{n}"] = ConeGroup("psd", np.stack(psd_by_n[n]), psd_n=n)
         if exp_idx:

@@ -35,11 +35,13 @@ _BIG = 1e30  # large-but-finite in both f32 and f64
 
 
 def _gather(vec, g: ConeGroup):
-    return vec[g.idx]
+    # bucketed groups carry out-of-bounds pad indices: gather fills 0
+    # (exact for SOC zero-padding), scatters drop them
+    return vec.at[g.idx].get(mode="fill", fill_value=0.0)
 
 
 def _scatter(out, g: ConeGroup, vals):
-    return out.at[g.idx].set(vals)
+    return out.at[g.idx].set(vals, mode="drop")
 
 
 # ---------------------------------------------------------------------------
@@ -344,12 +346,12 @@ def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             wbar = w.at[:, 1:].multiply(-1.0)  # Jw
-            Xg = X[g.idx]                      # (c, d, k)
+            Xg = X.at[g.idx].get(mode="fill", fill_value=0.0)  # (c, d, k)
             ccoef = 2.0 * jnp.einsum("cd,cdk->ck", wbar, Xg)
             out = Xg.at[:, 0, :].multiply(-1.0)      # -J x = [-x0; x1]
             out = out + ccoef[:, None, :] * wbar[:, :, None]
             out = out / (eta**2)[:, None, None]
-            y = y.at[g.idx].set(out)
+            y = y.at[g.idx].set(out, mode="drop")
         elif g.kind == "psd":
             from . import psd as _psd
 
@@ -619,8 +621,13 @@ def rectify_equilibration(layout: ConeLayout, e):
     for name, g in layout.groups.items():
         if g.kind in ("zero", "nn"):
             continue
-        eg = e[g.idx]  # (count, width)
-        mean = jnp.mean(eg, axis=1, keepdims=True)
-        delta = delta.at[g.idx].set(mean / eg)
+        eg = e.at[g.idx].get(mode="fill", fill_value=0.0)  # (count, width)
+        if g.true_dims is not None:
+            mean = (jnp.sum(eg, axis=1, keepdims=True)
+                    / jnp.asarray(g.true_dims, e.dtype)[:, None])
+        else:
+            mean = jnp.mean(eg, axis=1, keepdims=True)
+        eg_safe = jnp.where(eg != 0, eg, 1.0)
+        delta = delta.at[g.idx].set(mean / eg_safe, mode="drop")
         changed = True
     return delta, changed
