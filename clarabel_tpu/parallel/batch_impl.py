@@ -47,7 +47,8 @@ class BatchSolver:
     """
 
     def __init__(self, cones: Sequence[SupportedCone], n: int,
-                 settings: Optional[Settings] = None, mesh=None):
+                 settings: Optional[Settings] = None, mesh=None,
+                 p_nonzero: bool = True):
         import jax
 
         self.settings = settings if settings is not None else Settings()
@@ -57,7 +58,9 @@ class BatchSolver:
         self.m = self.layout.m
         self._mesh = mesh
 
-        solve_one = build_solve(self.layout, self.settings, n, p_nonzero=True)
+        solve_one = build_solve(
+            self.layout, self.settings, n, p_nonzero=p_nonzero
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -77,7 +80,10 @@ class BatchSolver:
             self._batch_minor = True
 
     def solve(self, P, q, A, b) -> BatchSolution:
-        """P: (B,n,n) full/triu symmetric; q: (B,n); A: (B,m,n); b: (B,m)."""
+        """P: (B,n,n) full/triu symmetric (or None for LP batches);
+        q: (B,n); A: (B,m,n); b: (B,m)."""
+        if P is None:
+            P = np.zeros((np.asarray(q).shape[0], self.n, self.n))
         P = np.asarray(P, np.float64)
         # symmetrize-triu per instance: P_sym = triu(P,1) + triu(P,1)' + diag(P)
         U = np.triu(P, 1)
