@@ -79,3 +79,34 @@ def test_batch_mixed_feasibility():
     assert out.status[0] == int(SolverStatus.SOLVED)
     assert out.status[1] == int(SolverStatus.PRIMAL_INFEASIBLE)
     assert out.r_prim[0] < 1e-8
+
+
+def test_batch_exponential_cones():
+    """Batched solve with nonsymmetric cones: backtracking line searches
+    and the scaling-strategy state machine under vmap."""
+    from clarabel_tpu import ZeroConeT, ExponentialConeT
+
+    rng = np.random.default_rng(5)
+    B = 4
+    # entropy-style problem: min -t s.t. (t, 1, x) in Kexp, x = c_i
+    # => t <= log(x)
+    nv = 2  # (x, t)
+    cones = [ZeroConeT(1), ExponentialConeT()]
+    Ps, qs, As, bs = [], [], [], []
+    cs = rng.uniform(0.5, 3.0, B)
+    for i in range(B):
+        Ps.append(np.zeros((nv, nv)))
+        qs.append(np.array([0.0, -1.0]))
+        A = np.zeros((4, nv))
+        A[0, 0] = 1.0          # x = c
+        A[1, 1] = -1.0         # s1 = t
+        # s2 = 1, s3 = x
+        A[3, 0] = -1.0
+        b = np.array([cs[i], 0.0, 1.0, 0.0])
+        As.append(A)
+        bs.append(b)
+
+    bs_solver = BatchSolver(cones, nv)
+    out = bs_solver.solve(np.stack(Ps), np.stack(qs), np.stack(As), np.stack(bs))
+    assert out.all_solved
+    assert np.allclose(out.x[:, 1], np.log(cs), atol=1e-6)
