@@ -124,3 +124,31 @@ def test_solution_residuals_high_accuracy():
     sol = Solver(P, q, A, b, cones).solve()
     assert sol.r_prim < 1e-8
     assert sol.r_dual < 1e-8
+
+
+def test_basic_socp_infeasible():
+    # reference: test/OptTests/basic_socp.jl:71-83
+    P, q, A, b, cones = basic_socp_data()
+    b = b.copy()
+    b[6] = -10.0
+    sol = Solver(P, q, A, b, cones).solve()
+    assert sol.status == SolverStatus.PRIMAL_INFEASIBLE
+    assert np.isnan(sol.obj_val)
+    assert np.isnan(sol.obj_val_dual)
+
+
+def test_basic_socp_large_cone():
+    """Single large SOC (the reference's sparse-expansion coverage case
+    maps to our ordinary dense-Hs path at larger dim)."""
+    rng = np.random.default_rng(2)
+    n = 12
+    F = rng.standard_normal((n, n)) / np.sqrt(n)
+    P = F @ F.T + 0.3 * np.eye(n)
+    q = rng.standard_normal(n)
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([[2.0], np.zeros(n)])
+    from clarabel_tpu import SecondOrderConeT
+
+    sol = Solver(P, q, A, b, [SecondOrderConeT(n + 1)]).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
