@@ -170,12 +170,23 @@ class Solver:
         p_nonzero = bool(np.any(self._P_full != 0))
         self._p_nonzero = p_nonzero
 
+        # block-arrow structure detection (host-side, pattern-based)
+        self._structure = None
+        if self.settings.kkt_backend == "blockarrow":
+            from .structure import analyze_block_arrow
+
+            self._structure = analyze_block_arrow(
+                self._P_full != 0, self._A != 0, self.layout
+            )
+
         cache_key = (self.layout.key, n, p_nonzero,
-                     dataclasses.astuple(self.settings))
+                     dataclasses.astuple(self.settings),
+                     None if self._structure is None else self._structure.key)
         if cache_key not in _SOLVE_CACHE:
             import jax
 
-            base = build_solve(self.layout, self.settings, n, p_nonzero)
+            base = build_solve(self.layout, self.settings, n, p_nonzero,
+                               structure=self._structure)
             _SOLVE_CACHE[cache_key] = (
                 jax.jit(base),
                 jax.jit(base.prepare),

@@ -188,13 +188,15 @@ def check_convergence(info: Info, res: Residuals, tols) -> jnp.ndarray:
     return status.astype(jnp.int32)
 
 
-def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
+def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
+                structure=None):
     """Build the end-to-end jitted solve function for a fixed problem
     structure (cone layout + dimensions).
 
     Returns solve(P, q, A, b) -> solution dict.  P must be the FULL
     symmetric cost matrix (the reference consumes triu-only;
-    see src/solver.jl docstring).
+    see src/solver.jl docstring).  `structure` is a BlockArrowPlan for
+    the "blockarrow" KKT backend.
     """
     m = layout.m
     dtype = np.dtype(settings.dtype)
@@ -450,7 +452,27 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool):
 
                 Hs = cone_ops.hs_dense(layout, state, dtype)
                 use_condensed = settings.kkt_backend == "condensed"
-                if use_condensed:
+                use_blockarrow = (
+                    settings.kkt_backend == "blockarrow"
+                    and structure is not None
+                )
+                if use_blockarrow:
+                    from ..kkt import blockarrow as kkt_ba
+
+                    fac = kkt_ba.assemble_and_factor_blockarrow(
+                        P, A, Hs, structure, signs, settings, factor_dtype
+                    )
+
+                    def solve_xz(bx, bz):
+                        return kkt_ba.kkt_solve_xz_blockarrow(
+                            fac, structure, bx, bz, settings
+                        )
+
+                    def solve_xz2(bx1, bz1, bx2, bz2):
+                        return kkt_ba.kkt_solve_xz2_blockarrow(
+                            fac, structure, bx1, bz1, bx2, bz2, settings
+                        )
+                elif use_condensed:
                     from ..kkt import condensed as kkt_cond
 
                     fac, _ = kkt_cond.assemble_and_factor_condensed(

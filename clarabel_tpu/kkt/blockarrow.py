@@ -1,0 +1,158 @@
+"""Block-arrow structured KKT backend (in-loop).
+
+Uses a host-computed BlockArrowPlan (structure.py) to factor the KKT as p
+independent diagonal-block LDLs plus one dense Schur complement — the
+same math as the multi-device Schur solver (parallel/schur.py), here
+vmapped on one device.  Per-iteration work drops from O(N³) dense to
+O(p·nb³ + nb²·nt·p + nt³), a large win for banded / grid /
+multi-scenario problems; on a mesh the vmap axis shards over `tp`.
+
+Iterative refinement against the full unpermuted KKT preserves accuracy,
+exactly as in the dense and condensed backends.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..linalg.ldl import ldl_factor, ldl_solve
+from ..structure import BlockArrowPlan
+
+
+class BlockArrowFactorS(NamedTuple):
+    Lb: jnp.ndarray       # (p, nb, nb)
+    db: jnp.ndarray       # (p, nb)
+    DinvB: jnp.ndarray    # (p, nb, nt)
+    Bc: jnp.ndarray       # (p, nb, nt) coupling blocks
+    Ls: jnp.ndarray       # (nt, nt)
+    ds: jnp.ndarray       # (nt,)
+    K_true: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def assemble_and_factor_blockarrow(P, A, Hs, plan: BlockArrowPlan, signs,
+                                   settings, factor_dtype):
+    n, m = plan.n, plan.m
+    N = n + m
+    K_true = jnp.block([[P, A.T], [A, -Hs]])
+
+    diag = jnp.diagonal(K_true)
+    maxdiag = jnp.max(jnp.abs(diag))
+    eps = (
+        settings.static_regularization_constant
+        + settings.static_regularization_proportional * maxdiag
+    )
+    K_reg = (K_true + jnp.diag(signs * eps)).astype(jnp.dtype(factor_dtype))
+
+    # pad with an identity row/col so sentinel gathers yield unit pivots
+    Kp = jnp.zeros((N + 1, N + 1), K_reg.dtype)
+    Kp = Kp.at[:N, :N].set(K_reg)
+    Kp = Kp.at[N, N].set(1.0)
+
+    bi = jnp.asarray(plan.block_idx)
+    ti = jnp.asarray(plan.tail_idx)
+    D = Kp[bi[:, :, None], bi[:, None, :]]
+    Bc = Kp[bi[:, :, None], ti[None, None, :]]
+    C = Kp[ti[:, None], ti[None, :]]
+
+    bsigns = jnp.asarray(plan.block_signs, K_reg.dtype)
+    tsigns = jnp.asarray(plan.tail_signs, K_reg.dtype)
+
+    dyn = dict(
+        dyn_eps=settings.dynamic_regularization_eps,
+        dyn_delta=settings.dynamic_regularization_delta,
+        dynamic_enable=settings.dynamic_regularization_enable,
+    )
+    Lb, db, okb = jax.vmap(lambda Kb, sb: ldl_factor(Kb, sb, **dyn))(D, bsigns)
+    DinvB = jax.vmap(ldl_solve)(Lb, db, Bc)
+    S = C - jnp.einsum("pij,pik->jk", Bc, DinvB)
+    Ls, ds, oks = ldl_factor(S, tsigns, **dyn)
+    ok = jnp.logical_and(jnp.all(okb), oks)
+    return BlockArrowFactorS(Lb, db, DinvB, Bc, Ls, ds, K_true, ok)
+
+
+def _ba_apply(fac: BlockArrowFactorS, plan: BlockArrowPlan, rhs):
+    """Apply the factorization to rhs (N,) or (N, k)."""
+    vec_in = rhs.ndim == 1
+    R = rhs[:, None] if vec_in else rhs
+    out_dtype = R.dtype
+    Rf = R.astype(fac.Lb.dtype)
+
+    bi = jnp.asarray(plan.block_idx)
+    ti = jnp.asarray(plan.tail_idx)
+    rb = Rf.at[bi].get(mode="fill", fill_value=0.0)    # (p, nb, k)
+    rt = Rf[ti]                                        # (nt, k)
+
+    u = jax.vmap(ldl_solve)(fac.Lb, fac.db, rb)        # (p, nb, k)
+    red = rt - jnp.einsum("pij,pik->jk", fac.Bc, u)
+    y = ldl_solve(fac.Ls, fac.ds, red)                 # (nt, k)
+    xb = u - jnp.einsum("pij,jk->pik", fac.DinvB, y)
+
+    out = jnp.zeros(R.shape, fac.Lb.dtype)
+    out = out.at[bi].set(xb, mode="drop")
+    out = out.at[ti].set(y)
+    out = out.astype(out_dtype)
+    return out[:, 0] if vec_in else out
+
+
+def solve_refined_blockarrow(fac, plan, rhs, settings):
+    """Block-arrow solve + iterative refinement on the augmented residual."""
+    x = _ba_apply(fac, plan, rhs)
+
+    abstol = settings.iterative_refinement_abstol
+    reltol = settings.iterative_refinement_reltol
+    stop_ratio = settings.iterative_refinement_stop_ratio
+    max_iter = settings.iterative_refinement_max_iter
+
+    normb = jnp.max(jnp.abs(rhs))
+    e0 = rhs - fac.K_true @ x
+    norme0 = jnp.max(jnp.abs(e0))
+    ok0 = jnp.isfinite(norme0)
+
+    def cond(carry):
+        i, x, e, norme, done, ok = carry
+        return jnp.logical_and(
+            jnp.logical_and(i < max_iter, jnp.logical_not(done)),
+            jnp.logical_and(ok, norme > abstol + reltol * normb),
+        )
+
+    def body(carry):
+        i, x, e, norme, done, ok = carry
+        dx = _ba_apply(fac, plan, e)
+        xnew = x + dx
+        enew = rhs - fac.K_true @ xnew
+        nn = jnp.max(jnp.abs(enew))
+        okn = jnp.isfinite(nn)
+        ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)
+        stop = ratio < stop_ratio
+        accept = jnp.logical_and(okn, jnp.logical_or(~stop, ratio > 1.0))
+        x = jnp.where(accept, xnew, x)
+        e = jnp.where(accept, enew, e)
+        norme = jnp.where(accept, nn, norme)
+        return (i + 1, x, e, norme, jnp.logical_or(stop, ~okn),
+                jnp.logical_and(ok, okn))
+
+    _, x, _, norme, _, ok = lax.while_loop(
+        cond, body, (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
+    )
+    return x, jnp.logical_and(ok, jnp.isfinite(norme))
+
+
+def kkt_solve_xz_blockarrow(fac, plan, bx, bz, settings):
+    n = bx.shape[0]
+    sol, ok = solve_refined_blockarrow(
+        fac, plan, jnp.concatenate([bx, bz]), settings
+    )
+    return sol[:n], sol[n:], ok
+
+
+def kkt_solve_xz2_blockarrow(fac, plan, bx1, bz1, bx2, bz2, settings):
+    n = bx1.shape[0]
+    rhs = jnp.stack(
+        [jnp.concatenate([bx1, bz1]), jnp.concatenate([bx2, bz2])], axis=1
+    )
+    sol, ok = solve_refined_blockarrow(fac, plan, rhs, settings)
+    return sol[:n, 0], sol[n:, 0], sol[:n, 1], sol[n:, 1], ok

@@ -1,0 +1,217 @@
+"""Host-side KKT structure detection for the block-arrow backend.
+
+Given the sparsity patterns of P and A and the cone layout, permute the
+augmented KKT matrix
+
+    K = [ P   Aᵀ ]
+        [ A  −Hs ]
+
+into single-level block-arrow form: p independent diagonal blocks plus a
+dense separator tail, so the per-iteration factorization becomes p
+independent (vmappable, mesh-shardable) small LDL factorizations plus one
+dense Schur complement — the structure the multi-device Schur solver
+consumes (parallel/schur.py).
+
+Graph model: one node per primal variable and per conic *row*, with every
+cone's rows fused into a single supernode (their Hs block is dense within
+the cone).  Edges from the patterns of P and A.  Partitioning is BFS
+level-set bisection applied recursively: at each split the boundary nodes
+move to the separator.  This favors banded / grid / multi-scenario
+structure; a fill-reducing nested dissection with a real graph
+partitioner is the upgrade path.
+"""
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .cones.api import nvars
+from .cones.layout import ConeLayout
+
+
+@dataclasses.dataclass
+class BlockArrowPlan:
+    """Static plan: permutation + padded block index maps into the
+    permuted KKT."""
+    perm: np.ndarray          # (N,) permuted order: KKT index at position i
+    block_idx: np.ndarray     # (p, nb_max) indices into the ORIGINAL KKT
+    #                           with out-of-range sentinel N at pads
+    tail_idx: np.ndarray      # (nt,)
+    block_signs: np.ndarray   # (p, nb_max) ±1 (pads +1)
+    tail_signs: np.ndarray    # (nt,)
+    n: int
+    m: int
+
+    @property
+    def p(self) -> int:
+        return self.block_idx.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.block_idx.shape[1]
+
+    @property
+    def nt(self) -> int:
+        return self.tail_idx.shape[0]
+
+    @property
+    def key(self):
+        # content hash: the index arrays are baked into the compiled
+        # program, so structurally different plans must not share a
+        # cache entry even at equal shapes
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (self.perm, self.block_idx, self.tail_idx,
+                  self.block_signs, self.tail_signs):
+            h.update(np.ascontiguousarray(a).tobytes())
+        return (self.p, self.nb, self.nt, self.n, self.m, h.hexdigest())
+
+
+def _kkt_supernode_graph(P_mask, A_mask, layout: ConeLayout):
+    """Build the quotient graph: nodes = n variables + one node per cone
+    row group.  Returns (adjacency list, node -> KKT-row lists)."""
+    n = P_mask.shape[0]
+    m = A_mask.shape[0]
+
+    # map each conic row to its cone node; NN/zero rows are singletons,
+    # SOC/PSD/exp/pow/genpow rows fuse per cone
+    row_node = np.empty(m, dtype=np.int64)
+    node_rows: List[List[int]] = [[i] for i in range(n)]  # variable nodes
+
+    next_node = n
+    ofs = 0
+    for cone in layout.cones:
+        k = nvars(cone)
+        from .cones.api import ZeroConeT, NonnegativeConeT
+
+        if isinstance(cone, (ZeroConeT, NonnegativeConeT)):
+            for r in range(ofs, ofs + k):
+                row_node[r] = next_node
+                node_rows.append([n + r])
+                next_node += 1
+        else:
+            rows = list(range(ofs, ofs + k))
+            for r in rows:
+                row_node[r] = next_node
+            node_rows.append([n + r for r in rows])
+            next_node += 1
+        ofs += k
+
+    nnodes = next_node
+    adj: List[set] = [set() for _ in range(nnodes)]
+
+    pi, pj = np.nonzero(P_mask)
+    for i, j in zip(pi, pj):
+        if i != j:
+            adj[i].add(int(j))
+            adj[j].add(int(i))
+    ai, aj = np.nonzero(A_mask)
+    for r, c in zip(ai, aj):
+        u = int(row_node[r])
+        adj[u].add(int(c))
+        adj[c].add(u)
+    return adj, node_rows
+
+
+def _bfs_order(adj, nodes):
+    """BFS level-set ordering of an induced subgraph (pseudo-peripheral
+    start)."""
+    nodes_set = set(nodes)
+    order = []
+    seen = set()
+    for seed in nodes:
+        if seed in seen:
+            continue
+        queue = [seed]
+        seen.add(seed)
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            for w in sorted(adj[v]):
+                if w in nodes_set and w not in seen:
+                    seen.add(w)
+                    queue.append(w)
+    return order
+
+
+def _bisect(adj, nodes):
+    """Split nodes into (left, right, separator) via BFS median split;
+    separator = right-side nodes adjacent to the left part."""
+    order = _bfs_order(adj, nodes)
+    half = len(order) // 2
+    left = set(order[:half])
+    right = set(order[half:])
+    sep = set()
+    for v in list(right):
+        if any(w in left for w in adj[v]):
+            sep.add(v)
+    right -= sep
+    return sorted(left), sorted(right), sorted(sep)
+
+
+def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
+                        target_blocks: int = 8,
+                        min_block: int = 8) -> Optional[BlockArrowPlan]:
+    """Try to find a useful block-arrow structure; None if the separator
+    would be too large relative to N (structure not worth exploiting)."""
+    n = P_mask.shape[0]
+    m = A_mask.shape[0]
+    N = n + m
+    adj, node_rows = _kkt_supernode_graph(P_mask, A_mask, layout)
+
+    # recursive bisection until we reach the target block count
+    parts: List[List[int]] = [list(range(len(adj)))]
+    separators: List[int] = []
+    while len(parts) < target_blocks:
+        parts.sort(key=len, reverse=True)
+        big = parts.pop(0)
+        if len(big) < 2 * min_block:
+            parts.append(big)
+            break
+        left, right, sep = _bisect(adj, big)
+        if not left or not right:
+            parts.append(big)
+            break
+        separators.extend(sep)
+        parts.append(left)
+        parts.append(right)
+
+    if len(parts) < 2:
+        return None
+
+    # expand nodes to KKT rows
+    def expand(node_list):
+        out = []
+        for v in node_list:
+            out.extend(node_rows[v])
+        return sorted(out)
+
+    block_rows = [expand(p) for p in parts]
+    tail_rows = expand(sorted(set(separators)))
+
+    nt = len(tail_rows)
+    if nt == 0 or nt > N // 3:
+        return None  # separator too large: dense/blocked is better
+
+    nb = max(len(b) for b in block_rows)
+    p = len(block_rows)
+
+    signs_full = np.concatenate([np.ones(n), -np.ones(m)])
+    block_idx = np.full((p, nb), N, dtype=np.int32)
+    block_signs = np.ones((p, nb))
+    for i, rows in enumerate(block_rows):
+        block_idx[i, :len(rows)] = rows
+        block_signs[i, :len(rows)] = signs_full[rows]
+    tail_idx = np.asarray(tail_rows, dtype=np.int32)
+    tail_signs = signs_full[tail_rows]
+
+    perm = np.concatenate([np.concatenate(
+        [np.asarray(b, dtype=np.int64) for b in block_rows]
+    ), tail_idx.astype(np.int64)])
+
+    return BlockArrowPlan(
+        perm=perm, block_idx=block_idx, tail_idx=tail_idx,
+        block_signs=block_signs, tail_signs=tail_signs, n=n, m=m,
+    )
