@@ -146,3 +146,17 @@ def test_basic_genpow_feasible():
     sol = Solver(P, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED
     assert abs(sol.obj_val - (-1.8458)) < 1e-3
+
+
+def test_strategy_downgrade_to_dual():
+    """Force the PrimalDual->Dual downgrade (reference:
+    src/solver.jl:492-505): with min_switch_step_length above any
+    realizable step, asymmetric problems must fall back to the Dual
+    scaling strategy and still converge."""
+    P, q, A, b, cones = basic_exp_data()
+    sol = Solver(
+        P, q, A, b, cones,
+        Settings(min_switch_step_length=2.0),
+    ).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert abs(sol.obj_val - (-54.41243965302268)) < 1e-3
