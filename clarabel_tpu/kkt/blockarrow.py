@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..linalg.ldl import ldl_factor, ldl_solve
+from ..linalg.ldl import ldl_factor, ldl_factor_blocked, ldl_solve
 from ..structure import BlockArrowPlan
 
 
@@ -66,7 +66,13 @@ def assemble_and_factor_blockarrow(P, A, Hs, plan: BlockArrowPlan, signs,
         dyn_delta=settings.dynamic_regularization_delta,
         dynamic_enable=settings.dynamic_regularization_enable,
     )
-    Lb, db, okb = jax.vmap(lambda Kb, sb: ldl_factor(Kb, sb, **dyn))(D, bsigns)
+    # large blocks: MXU-friendly 128-blocked right-looking factorization
+    # (plan pads nb to a multiple of 128 in that regime)
+    if plan.nb >= 192 and plan.nb % 128 == 0:
+        factor_one = lambda Kb, sb: ldl_factor_blocked(Kb, sb, **dyn)
+    else:
+        factor_one = lambda Kb, sb: ldl_factor(Kb, sb, **dyn)
+    Lb, db, okb = jax.vmap(factor_one)(D, bsigns)
     DinvB = jax.vmap(ldl_solve)(Lb, db, Bc)
     S = C - jnp.einsum("pij,pik->jk", Bc, DinvB)
     Ls, ds, oks = ldl_factor(S, tsigns, **dyn)

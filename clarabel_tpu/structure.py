@@ -196,6 +196,9 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
         return None  # separator too large: dense/blocked is better
 
     nb = max(len(b) for b in block_rows)
+    # large blocks use the 128-blocked LDL kernel: pad width to a multiple
+    if nb >= 192:
+        nb = ((nb + 127) // 128) * 128
     p = len(block_rows)
 
     signs_full = np.concatenate([np.ones(n), -np.ones(m)])
