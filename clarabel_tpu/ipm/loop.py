@@ -462,15 +462,17 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                     fac = kkt_ba.assemble_and_factor_blockarrow(
                         P, A, Hs, structure, signs, settings, factor_dtype
                     )
+                    kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
 
                     def solve_xz(bx, bz):
                         return kkt_ba.kkt_solve_xz_blockarrow(
-                            fac, structure, bx, bz, settings
+                            fac, structure, kkt_mv, bx, bz, settings
                         )
 
                     def solve_xz2(bx1, bz1, bx2, bz2):
                         return kkt_ba.kkt_solve_xz2_blockarrow(
-                            fac, structure, bx1, bz1, bx2, bz2, settings
+                            fac, structure, kkt_mv, bx1, bz1, bx2, bz2,
+                            settings
                         )
                 elif use_condensed:
                     from ..kkt import condensed as kkt_cond

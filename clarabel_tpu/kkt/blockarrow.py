@@ -29,8 +29,31 @@ class BlockArrowFactorS(NamedTuple):
     Bc: jnp.ndarray       # (p, nb, nt) coupling blocks
     Ls: jnp.ndarray       # (nt, nt)
     ds: jnp.ndarray       # (nt,)
-    K_true: jnp.ndarray
     ok: jnp.ndarray
+
+
+def make_kkt_matvec(P, A, layout, state):
+    """Matvec with the TRUE augmented KKT, composed from its parts —
+    avoids materializing the N x N matrix for iterative refinement."""
+    from ..cones import ops as cone_ops
+
+    n = P.shape[0]
+
+    def matvec(x):
+        vec_in = x.ndim == 1
+        X = x[:, None] if vec_in else x
+        x1, x2 = X[:n], X[n:]
+        top = P @ x1 + A.T @ x2
+        k = X.shape[1]
+        Hx2 = jnp.stack(
+            [cone_ops.mul_Hs(layout, state, x2[:, i]) for i in range(k)],
+            axis=1,
+        )
+        bot = A @ x1 - Hx2
+        out = jnp.concatenate([top, bot], axis=0)
+        return out[:, 0] if vec_in else out
+
+    return matvec
 
 
 def assemble_and_factor_blockarrow(P, A, Hs, plan: BlockArrowPlan, signs,
@@ -77,7 +100,7 @@ def assemble_and_factor_blockarrow(P, A, Hs, plan: BlockArrowPlan, signs,
     S = C - jnp.einsum("pij,pik->jk", Bc, DinvB)
     Ls, ds, oks = ldl_factor(S, tsigns, **dyn)
     ok = jnp.logical_and(jnp.all(okb), oks)
-    return BlockArrowFactorS(Lb, db, DinvB, Bc, Ls, ds, K_true, ok)
+    return BlockArrowFactorS(Lb, db, DinvB, Bc, Ls, ds, ok)
 
 
 def _ba_apply(fac: BlockArrowFactorS, plan: BlockArrowPlan, rhs):
@@ -104,8 +127,9 @@ def _ba_apply(fac: BlockArrowFactorS, plan: BlockArrowPlan, rhs):
     return out[:, 0] if vec_in else out
 
 
-def solve_refined_blockarrow(fac, plan, rhs, settings):
-    """Block-arrow solve + iterative refinement on the augmented residual."""
+def solve_refined_blockarrow(fac, plan, kkt_mv, rhs, settings):
+    """Block-arrow solve + iterative refinement on the augmented residual
+    (computed with the parts-composed matvec, not a materialized K)."""
     x = _ba_apply(fac, plan, rhs)
 
     abstol = settings.iterative_refinement_abstol
@@ -114,7 +138,7 @@ def solve_refined_blockarrow(fac, plan, rhs, settings):
     max_iter = settings.iterative_refinement_max_iter
 
     normb = jnp.max(jnp.abs(rhs))
-    e0 = rhs - fac.K_true @ x
+    e0 = rhs - kkt_mv(x)
     norme0 = jnp.max(jnp.abs(e0))
     ok0 = jnp.isfinite(norme0)
 
@@ -129,7 +153,7 @@ def solve_refined_blockarrow(fac, plan, rhs, settings):
         i, x, e, norme, done, ok = carry
         dx = _ba_apply(fac, plan, e)
         xnew = x + dx
-        enew = rhs - fac.K_true @ xnew
+        enew = rhs - kkt_mv(xnew)
         nn = jnp.max(jnp.abs(enew))
         okn = jnp.isfinite(nn)
         ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)
@@ -147,18 +171,18 @@ def solve_refined_blockarrow(fac, plan, rhs, settings):
     return x, jnp.logical_and(ok, jnp.isfinite(norme))
 
 
-def kkt_solve_xz_blockarrow(fac, plan, bx, bz, settings):
+def kkt_solve_xz_blockarrow(fac, plan, kkt_mv, bx, bz, settings):
     n = bx.shape[0]
     sol, ok = solve_refined_blockarrow(
-        fac, plan, jnp.concatenate([bx, bz]), settings
+        fac, plan, kkt_mv, jnp.concatenate([bx, bz]), settings
     )
     return sol[:n], sol[n:], ok
 
 
-def kkt_solve_xz2_blockarrow(fac, plan, bx1, bz1, bx2, bz2, settings):
+def kkt_solve_xz2_blockarrow(fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings):
     n = bx1.shape[0]
     rhs = jnp.stack(
         [jnp.concatenate([bx1, bz1]), jnp.concatenate([bx2, bz2])], axis=1
     )
-    sol, ok = solve_refined_blockarrow(fac, plan, rhs, settings)
+    sol, ok = solve_refined_blockarrow(fac, plan, kkt_mv, rhs, settings)
     return sol[:n, 0], sol[n:, 0], sol[:n, 1], sol[n:, 1], ok
