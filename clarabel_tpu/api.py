@@ -104,6 +104,91 @@ class Solver:
             self.setup(P, q, A, b, cones)
 
     # ------------------------------------------------------------------
+    def _setup_sparse(self, P, q, A, b, cones, t0) -> bool:
+        """Sparse-data setup: COO P/A end-to-end with map-based
+        block-arrow KKT assembly.  Returns False (caller falls back to
+        the dense path) when no usable structure is found."""
+        from .linalg.matops import make_sparse_coo
+        from .structure import analyze_block_arrow
+        from .kkt.assembly_maps import build_assembly_maps
+        from . import get_infinity
+
+        P = sp.csr_matrix(P).astype(np.float64)
+        A = sp.csr_matrix(A).astype(np.float64)
+        n, m = q.shape[0], b.shape[0]
+        if A.shape != (m, n) or P.shape != (n, n):
+            raise ValueError("dimension mismatch")
+        if sum(nvars(c) for c in cones) != m:
+            raise ValueError(
+                "Constraint dimensions inconsistent with size of cones"
+            )
+
+        cones = cones_collapse(list(cones))
+        infinity = get_infinity()
+        b = np.minimum(b, infinity)
+
+        self.presolver = None
+        if self.settings.presolve_enable:
+            pres = presolve_mod.try_presolve(A, b, cones, infinity)
+            if pres is not None:
+                self.presolver = pres
+                A = A[pres.keep_logical]
+                b = b[pres.keep_logical]
+                cones = pres.reduced_cones
+                m = b.shape[0]
+
+        # chordal decomposition is a dense-path feature for now
+        self.chordal_info = None
+        self._n_orig = n
+
+        P_sym = (sp.triu(P) + sp.triu(P, 1).T).tocoo()
+        A_coo = sp.coo_matrix(A)
+        layout = ConeLayout(cones)
+        if layout.m != m:
+            raise ValueError("cone dimensions do not match constraint count")
+
+        plan = analyze_block_arrow(
+            ((P_sym.row, P_sym.col), (n, n)),
+            ((A_coo.row, A_coo.col), (m, n)),
+            layout,
+        )
+        if plan is None:
+            return False
+
+        maps = build_assembly_maps(
+            (P_sym.row, P_sym.col), (A_coo.row, A_coo.col), layout, plan
+        )
+
+        self._P_full = P_sym.tocsr()
+        self._q, self._A, self._b = q, A, b
+        self.n, self.m = n, m
+        self.cones = list(cones)
+        self.layout = layout
+        self._p_nonzero = P_sym.nnz > 0
+        self._structure = plan
+        self._sparse_mode = True
+        self._data_args = (
+            make_sparse_coo(P_sym), q, make_sparse_coo(A_coo), b,
+        )
+
+        cache_key = (layout.key, n, self._p_nonzero, "sparse",
+                     dataclasses.astuple(self.settings), maps.key)
+        if cache_key not in _SOLVE_CACHE:
+            import jax
+
+            base = build_solve(layout, self.settings, n, self._p_nonzero,
+                               structure=plan, assembly=maps)
+            _SOLVE_CACHE[cache_key] = (
+                jax.jit(base), jax.jit(base.prepare),
+                jax.jit(base.run_phases), jax.jit(base.finalize),
+            )
+        (self._solve_fn, self._prepare_fn, self._chunk_fn,
+         self._finalize_fn) = _SOLVE_CACHE[cache_key]
+
+        self._setup_time = time.perf_counter() - t0
+        self._setup_done = True
+        return True
+
     def setup(self, P, q, A, b, cones: Sequence[SupportedCone]):
         """reference: src/solver.jl:89-153"""
         t0 = time.perf_counter()
@@ -111,6 +196,21 @@ class Solver:
 
         q = np.asarray(q, dtype=np.float64).ravel()
         b = np.asarray(b, dtype=np.float64).ravel()
+
+        # sparse data mode: keep scipy-sparse inputs in COO form
+        # end-to-end (map-based structured KKT assembly; no dense N² data)
+        want_sparse = self.settings.sparse_data
+        if want_sparse is None:
+            want_sparse = (
+                sp.issparse(A)
+                and q.shape[0] + b.shape[0] > 2000
+            )
+        if want_sparse:
+            done = self._setup_sparse(P, q, A, b, cones, t0)
+            if done:
+                return self
+            # fall through to the dense path when no structure was found
+
         P = _to_dense(P).astype(np.float64)
         A = _to_dense(A).astype(np.float64)
 
@@ -163,6 +263,8 @@ class Solver:
         self._A = A
         self._b = b
         self.n, self.m = n, m
+        self._sparse_mode = False
+        self._data_args = None  # filled below (dense arrays)
         self.cones = list(cones)
         self.layout = ConeLayout(self.cones)
         if self.layout.m != m:
@@ -212,10 +314,12 @@ class Solver:
             info_print.print_configuration(self)
             info_print.print_status_header()
         t0 = time.perf_counter()
+        args = (self._data_args if self._data_args is not None
+                else (self._P_full, self._q, self._A, self._b))
         if np.isfinite(self.settings.time_limit):
             out = self._solve_chunked(t0)
         else:
-            out = self._solve_fn(self._P_full, self._q, self._A, self._b)
+            out = self._solve_fn(*args)
         out = {k: np.asarray(v) for k, v in out.items()}
         solve_time = time.perf_counter() - t0
         if self._first_solve_time is None:
@@ -275,9 +379,9 @@ class Solver:
         """
         import jax.numpy as jnp
 
-        data, carry0 = self._prepare_fn(
-            self._P_full, self._q, self._A, self._b
-        )
+        args = (self._data_args if self._data_args is not None
+                else (self._P_full, self._q, self._A, self._b))
+        data, carry0 = self._prepare_fn(*args)
         if carry is None:
             carry = carry0
         while True:

@@ -613,32 +613,35 @@ def update_scaling(g: ConeGroup, s, z, mu, scaling_strategy):
     raise NotImplementedError(g.kind)
 
 
-def hs_dense_scatter(g: ConeGroup, state, H):
+def hs_blocks(g: ConeGroup, state, dtype):
+    """Dense per-cone Hs blocks, (c, width, width)."""
     if g.kind in ("exp", "pow"):
-        blocks = state["Hs"]
-        H = H.at[g.idx[:, :, None], g.idx[:, None, :]].set(blocks)
-        return H
+        return state["Hs"]
     if g.kind == "genpow":
         # dense μH = μ(D + pp' − qq' − rr'), q on head block, r on tail
         # (reference: coneops_genpowcone.jl:111-135 sparse form)
         d1 = g.dim1
         mu = state["mu"]
         dvec = jnp.concatenate(
-            [state["d1"], state["d2"][:, None] * jnp.ones((g.count, g.dim2), H.dtype)],
+            [state["d1"], state["d2"][:, None] * jnp.ones((g.count, g.dim2), dtype)],
             axis=1,
         )
-        qfull = jnp.concatenate([state["q"], jnp.zeros((g.count, g.dim2), H.dtype)], axis=1)
-        rfull = jnp.concatenate([jnp.zeros((g.count, d1), H.dtype), state["r"]], axis=1)
+        qfull = jnp.concatenate([state["q"], jnp.zeros((g.count, g.dim2), dtype)], axis=1)
+        rfull = jnp.concatenate([jnp.zeros((g.count, d1), dtype), state["r"]], axis=1)
         p = state["p"]
-        blocks = (
-            jnp.eye(g.width, dtype=H.dtype)[None] * dvec[:, None, :]
+        return (
+            jnp.eye(g.width, dtype=dtype)[None] * dvec[:, None, :]
             + p[:, :, None] * p[:, None, :]
             - qfull[:, :, None] * qfull[:, None, :]
             - rfull[:, :, None] * rfull[:, None, :]
         ) * mu
-        H = H.at[g.idx[:, :, None], g.idx[:, None, :]].set(blocks)
-        return H
     raise NotImplementedError(g.kind)
+
+
+def hs_dense_scatter(g: ConeGroup, state, H):
+    blocks = hs_blocks(g, state, H.dtype)
+    H = H.at[g.idx[:, :, None], g.idx[:, None, :]].set(blocks)
+    return H
 
 
 def mul_Hs(g: ConeGroup, state, x, y):

@@ -293,6 +293,70 @@ def hs_dense(layout: ConeLayout, state: Dict, dtype):
     return H
 
 
+def hs_flat_values(layout: ConeLayout, state: Dict, dtype):
+    """Flat vector of all Hs entries, group by group, matching the KKT
+    coordinates produced by `hs_coords` — the value side of the map-based
+    sparse KKT assembly (the TPU analogue of the reference's per-cone
+    Hs index maps, reference: directldl_datamaps.jl)."""
+    parts = []
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            continue  # Hs = 0: no values
+        if g.kind == "nn":
+            w = state[name]["w"]
+            parts.append(w * w)
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            blocks = 2.0 * w[:, :, None] * w[:, None, :]
+            d = g.width
+            J = jnp.zeros((d, d), dtype).at[0, 0].set(1.0)
+            J = J.at[jnp.arange(1, d), jnp.arange(1, d)].set(-1.0)
+            blocks = (blocks - J[None, :, :]) * (eta**2)[:, None, None]
+            parts.append(blocks.reshape(-1))
+        elif g.kind == "psd":
+            parts.append(
+                psd_ops.hs_blocks(g, state[name], dtype).reshape(-1)
+            )
+        elif g.kind in ("exp", "pow", "genpow"):
+            parts.append(
+                nonsym_ops.hs_blocks(g, state[name], dtype).reshape(-1)
+            )
+        else:
+            raise NotImplementedError(g.kind)
+    if not parts:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate(parts)
+
+
+def hs_coords(layout: ConeLayout, n: int):
+    """Host-side (rows, cols) KKT coordinates for every entry emitted by
+    `hs_flat_values`, in identical order.  Conic rows are offset by n;
+    bucketed-SOC pad entries get the out-of-range sentinel n+m (dropped
+    by the assembly scatter)."""
+    m = layout.m
+    sentinel = n + m
+    rows_out, cols_out = [], []
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            continue
+        idx = g.idx.astype(np.int64)
+        # map real indices to n+idx, sentinels stay out of range
+        kk = np.where(idx >= m, sentinel, n + idx)
+        if g.kind == "nn":
+            rows_out.append(kk[0])
+            cols_out.append(kk[0])
+        else:
+            r = np.broadcast_to(kk[:, :, None], (g.count, g.width, g.width))
+            c = np.broadcast_to(kk[:, None, :], (g.count, g.width, g.width))
+            # either side padded -> drop the entry
+            pad = (r >= sentinel) | (c >= sentinel)
+            rows_out.append(np.where(pad, sentinel, r).reshape(-1))
+            cols_out.append(np.where(pad, sentinel, c).reshape(-1))
+    if not rows_out:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    return np.concatenate(rows_out), np.concatenate(cols_out)
+
+
 def mul_Hs(layout: ConeLayout, state: Dict, x):
     """y = Hs x.  reference: coneops_compositecone.jl:138-150"""
     y = jnp.zeros_like(x)

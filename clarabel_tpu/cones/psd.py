@@ -151,16 +151,20 @@ def _mul_w_mat(R, X, transpose: bool):
     return jnp.einsum("cji,cjk,ckl->cil", R, X, R)
 
 
-def hs_dense_scatter(g: ConeGroup, state, H):
-    """Scatter the dense per-cone Hs = skron(RRᵀ) blocks into H.
+def hs_blocks(g: ConeGroup, state, dtype):
+    """Dense per-cone Hs = skron(RRᵀ) blocks, (c, t, t).
     Hs[p,q] = <E_p, A E_q A>, A = RRᵀ (symmetric Kronecker product)."""
     n = g.psd_n
     R = state["R"]
     A = jnp.einsum("cij,ckj->cik", R, R)  # RRᵀ
-    E = jnp.asarray(_svec_basis(n), H.dtype)  # (t, n, n)
+    E = jnp.asarray(_svec_basis(n), dtype)  # (t, n, n)
     # M[q] = A E_q A, then Hs[p,q] = sum_ij E_p[ij] M[q][ij]
     M = jnp.einsum("cij,qjk,ckl->cqil", A, E, A)
-    Hs = jnp.einsum("pij,cqij->cpq", E, M)
+    return jnp.einsum("pij,cqij->cpq", E, M)
+
+
+def hs_dense_scatter(g: ConeGroup, state, H):
+    Hs = hs_blocks(g, state, H.dtype)
     H = H.at[g.idx[:, :, None], g.idx[:, None, :]].set(Hs)
     return H
 

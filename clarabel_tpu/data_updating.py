@@ -29,6 +29,10 @@ def _check_update_allowed(solver):
         raise ValueError(
             "Data updates not allowed if chordal decomposition is active."
         )
+    if getattr(solver, "_sparse_mode", False):
+        raise ValueError(
+            "Data updates not supported in sparse data mode yet."
+        )
 
 
 def update_P(solver, data) -> None:

@@ -17,6 +17,7 @@ from jax import lax
 
 from ..cones.layout import ConeLayout
 from ..cones import ops as cone_ops
+from ..linalg import matops
 
 
 class Equilibration(NamedTuple):
@@ -47,11 +48,8 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
         P, A, q, b, d, e, c = carry
         # column inf-norms of the KKT block [P Aᵀ; A 0]
         # (reference: src/utils/mathutils.jl:129-141 kkt_col_norms!)
-        dwork = jnp.maximum(
-            jnp.max(jnp.abs(P), axis=0, initial=0.0),
-            jnp.max(jnp.abs(A), axis=0, initial=0.0),
-        )
-        ework = jnp.max(jnp.abs(A), axis=1, initial=0.0)
+        dwork = jnp.maximum(matops.col_abs_max(P), matops.col_abs_max(A))
+        ework = matops.row_abs_max(A)
         dwork = jnp.where(dwork == 0, 1.0, dwork)
         ework = jnp.where(ework == 0, 1.0, ework)
         dwork = 1.0 / jnp.sqrt(dwork)
@@ -61,15 +59,15 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
         ework = jnp.clip(ework, smin / e, smax / e)
 
         # scale data: P <- D P D, A <- E A D, q <- D q, b <- E b
-        P = dwork[:, None] * P * dwork[None, :]
-        A = ework[:, None] * A * dwork[None, :]
+        P = matops.scale_lr(P, dwork, dwork)
+        A = matops.scale_lr(A, ework, dwork)
         q = q * dwork
         b = b * ework
         d = d * dwork
         e = e * ework
 
         # cost scaling (reference: problemdata.jl:185-201)
-        mean_col_norm_P = jnp.mean(jnp.max(jnp.abs(P), axis=0, initial=0.0))
+        mean_col_norm_P = matops.mean_col_abs_max(P)
         inf_norm_q = jnp.max(jnp.abs(q)) if n > 0 else jnp.asarray(0.0, dtype)
         do_cost = jnp.logical_and(mean_col_norm_P != 0, inf_norm_q != 0)
         scale_cost = jnp.maximum(inf_norm_q, mean_col_norm_P)
@@ -79,7 +77,7 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
                      smin / c, smax / c),
             1.0,
         )
-        P = P * ctmp
+        P = matops.scalar_mul(P, ctmp)
         q = q * ctmp
         c = c * ctmp
         return P, A, q, b, d, e, c
@@ -91,7 +89,7 @@ def ruiz_equilibrate(layout: ConeLayout, settings, P, A, q, b):
     # cone rectification: scalar scaling on SOC/PSD/exp/pow cones
     delta, changed = cone_ops.rectify_equilibration(layout, e)
     if changed:
-        A = delta[:, None] * A
+        A = matops.scale_lr(A, delta, None)
         b = b * delta
         e = e * delta
 

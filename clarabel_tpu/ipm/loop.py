@@ -26,6 +26,7 @@ from jax import lax
 from ..cones.layout import ConeLayout
 from ..cones import ops as cone_ops
 from ..kkt import dense as kkt
+from ..linalg import matops
 from ..statuscodes import SolverStatus
 from .equilibration import ruiz_equilibrate, Equilibration
 
@@ -95,10 +96,10 @@ def compute_residuals(P, q, A, b, x, z, s, tau, kappa) -> Residuals:
     qx = q @ x
     bz = b @ z
     sz = s @ z
-    Px = P @ x
+    Px = matops.mv(P, x)
     xPx = x @ Px
-    rx_inf = -(A.T @ z)
-    rz_inf = s + A @ x
+    rx_inf = -matops.rmv(A, z)
+    rz_inf = s + matops.mv(A, x)
     rx = rx_inf - Px - q * tau
     rz = rz_inf - b * tau
     rtau = qx + bz + kappa + xPx / tau
@@ -189,7 +190,7 @@ def check_convergence(info: Info, res: Residuals, tols) -> jnp.ndarray:
 
 
 def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
-                structure=None):
+                structure=None, assembly=None):
     """Build the end-to-end jitted solve function for a fixed problem
     structure (cone layout + dimensions).
 
@@ -226,23 +227,102 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
         vec = cone_ops.scaled_unit_shift(layout, vec, amt2, pd)
         return vec
 
+    def make_kkt(P, A, state, factor_dtype):
+        """Statically-selected KKT backend: factor at the given state and
+        return (ok, solve_xz, solve_xz2).  Used by both the initial-point
+        solve (identity scaling) and the per-iteration step."""
+        if assembly is not None:
+            # sparse data: map-based block-arrow assembly, no dense K/Hs
+            from ..kkt import assembly_maps as kkt_am
+            from ..kkt import blockarrow as kkt_ba
+
+            hs_vals = cone_ops.hs_flat_values(layout, state, dtype)
+            fac = kkt_am.factor_from_maps(
+                assembly, P.vals, A.vals, hs_vals, settings, factor_dtype
+            )
+            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
+            plan = assembly.plan
+
+            def solve_xz(bx, bz):
+                return kkt_ba.kkt_solve_xz_blockarrow(
+                    fac, plan, kkt_mv, bx, bz, settings
+                )
+
+            def solve_xz2(bx1, bz1, bx2, bz2):
+                return kkt_ba.kkt_solve_xz2_blockarrow(
+                    fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings
+                )
+
+            return fac.ok, solve_xz, solve_xz2
+
+        Hs = cone_ops.hs_dense(layout, state, dtype)
+        if settings.kkt_backend == "blockarrow" and structure is not None:
+            from ..kkt import blockarrow as kkt_ba
+
+            fac = kkt_ba.assemble_and_factor_blockarrow(
+                P, A, Hs, structure, signs, settings, factor_dtype
+            )
+            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
+
+            def solve_xz(bx, bz):
+                return kkt_ba.kkt_solve_xz_blockarrow(
+                    fac, structure, kkt_mv, bx, bz, settings
+                )
+
+            def solve_xz2(bx1, bz1, bx2, bz2):
+                return kkt_ba.kkt_solve_xz2_blockarrow(
+                    fac, structure, kkt_mv, bx1, bz1, bx2, bz2, settings
+                )
+
+            return fac.ok, solve_xz, solve_xz2
+
+        if settings.kkt_backend == "condensed":
+            from ..kkt import condensed as kkt_cond
+
+            fac, _ = kkt_cond.assemble_and_factor_condensed(
+                P, A, Hs, layout, state, signs, settings, factor_dtype
+            )
+
+            def solve_xz(bx, bz):
+                return kkt_cond.kkt_solve_xz_condensed(
+                    fac, layout, state, bx, bz, settings
+                )
+
+            def solve_xz2(bx1, bz1, bx2, bz2):
+                return kkt_cond.kkt_solve_xz2_condensed(
+                    fac, layout, state, bx1, bz1, bx2, bz2, settings
+                )
+
+            return fac.ok, solve_xz, solve_xz2
+
+        fac = kkt.assemble_and_factor(
+            P, A, Hs, signs, settings, factor_dtype=factor_dtype
+        )
+
+        def solve_xz(bx, bz):
+            return kkt.kkt_solve_xz(fac, bx, bz, settings)
+
+        def solve_xz2(bx1, bz1, bx2, bz2):
+            return kkt.kkt_solve_xz2(fac, bx1, bz1, bx2, bz2, settings)
+
+        return fac.ok, solve_xz, solve_xz2
+
     def default_start(P, q, A, b):
         """reference: src/solver.jl:383-404, src/kktsystem.jl:95-132"""
         zero_n = jnp.zeros((n,), dtype)
         zero_m = jnp.zeros((m,), dtype)
         if is_symmetric:
             state0 = cone_ops.set_identity_scaling(layout, dtype)
-            Hs = cone_ops.hs_dense(layout, state0, dtype)
-            fac = kkt.assemble_and_factor(P, A, Hs, signs, settings)
+            _, solve_xz, _ = make_kkt(P, A, state0, settings.factor_dtype)
             if p_nonzero:
                 # QP initialization
-                x0, z0, _ = kkt.kkt_solve_xz(fac, -q, b, settings)
+                x0, z0, _ = solve_xz(-q, b)
                 s0 = -z0
             else:
                 # LP initialization
-                x0, ms, _ = kkt.kkt_solve_xz(fac, zero_n, b, settings)
+                x0, ms, _ = solve_xz(zero_n, b)
                 s0 = -ms
-                _, z0, _ = kkt.kkt_solve_xz(fac, -q, zero_m, settings)
+                _, z0, _ = solve_xz(-q, zero_m)
             s0 = shift_to_cone_interior(s0, "primal")
             z0 = shift_to_cone_interior(z0, "dual")
         else:
@@ -303,9 +383,11 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
 
     def prepare(P, q, A, b):
         """Equilibration + initial point; returns (data, initial carry)."""
-        P = jnp.asarray(P, dtype)
+        if not matops.is_sparse(P):
+            P = jnp.asarray(P, dtype)
+        if not matops.is_sparse(A):
+            A = jnp.asarray(A, dtype)
         q = jnp.asarray(q, dtype)
-        A = jnp.asarray(A, dtype)
         b = jnp.asarray(b, dtype)
 
         # -- equilibration (reference: src/problemdata.jl:133-221)
@@ -450,61 +532,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                 )
                 iters = carry.iters + 1
 
-                Hs = cone_ops.hs_dense(layout, state, dtype)
-                use_condensed = settings.kkt_backend == "condensed"
-                use_blockarrow = (
-                    settings.kkt_backend == "blockarrow"
-                    and structure is not None
+                ok_factor, solve_xz, solve_xz2 = make_kkt(
+                    P, A, state, factor_dtype
                 )
-                if use_blockarrow:
-                    from ..kkt import blockarrow as kkt_ba
-
-                    fac = kkt_ba.assemble_and_factor_blockarrow(
-                        P, A, Hs, structure, signs, settings, factor_dtype
-                    )
-                    kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
-
-                    def solve_xz(bx, bz):
-                        return kkt_ba.kkt_solve_xz_blockarrow(
-                            fac, structure, kkt_mv, bx, bz, settings
-                        )
-
-                    def solve_xz2(bx1, bz1, bx2, bz2):
-                        return kkt_ba.kkt_solve_xz2_blockarrow(
-                            fac, structure, kkt_mv, bx1, bz1, bx2, bz2,
-                            settings
-                        )
-                elif use_condensed:
-                    from ..kkt import condensed as kkt_cond
-
-                    fac, _ = kkt_cond.assemble_and_factor_condensed(
-                        P, A, Hs, layout, state, signs, settings,
-                        factor_dtype,
-                    )
-
-                    def solve_xz(bx, bz):
-                        return kkt_cond.kkt_solve_xz_condensed(
-                            fac, layout, state, bx, bz, settings
-                        )
-
-                    def solve_xz2(bx1, bz1, bx2, bz2):
-                        return kkt_cond.kkt_solve_xz2_condensed(
-                            fac, layout, state, bx1, bz1, bx2, bz2, settings
-                        )
-                else:
-                    fac = kkt.assemble_and_factor(
-                        P, A, Hs, signs, settings, factor_dtype=factor_dtype
-                    )
-
-                    def solve_xz(bx, bz):
-                        return kkt.kkt_solve_xz(fac, bx, bz, settings)
-
-                    def solve_xz2(bx1, bz1, bx2, bz2):
-                        return kkt.kkt_solve_xz2(
-                            fac, bx1, bz1, bx2, bz2, settings
-                        )
-
-                ok_kkt = jnp.logical_and(fac.ok, ok_scale)
+                ok_kkt = jnp.logical_and(ok_factor, ok_scale)
 
                 # fused multi-RHS solve: constant part [-q; b] -> (x2, z2)
                 # (reference: src/kktsystem.jl:80-92) together with the
@@ -519,12 +550,13 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                     xi = x / tau
                     tau_num = (
                         rhs_tau - rhs_kappa / tau + q @ x1 + b @ z1
-                        + 2.0 * (xi @ (P @ x1))
+                        + 2.0 * (xi @ matops.mv(P, x1))
                     )
                     xi_m_x2 = xi - x2
                     tau_den = (
                         kappa / tau - q @ x2 - b @ z2
-                        + xi_m_x2 @ (P @ xi_m_x2) - x2 @ (P @ x2)
+                        + xi_m_x2 @ matops.mv(P, xi_m_x2)
+                        - x2 @ matops.mv(P, x2)
                     )
                     dtau = tau_num / tau_den
                     dx = x1 + dtau * x2

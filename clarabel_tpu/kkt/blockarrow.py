@@ -34,22 +34,24 @@ class BlockArrowFactorS(NamedTuple):
 
 def make_kkt_matvec(P, A, layout, state):
     """Matvec with the TRUE augmented KKT, composed from its parts —
-    avoids materializing the N x N matrix for iterative refinement."""
+    avoids materializing the N x N matrix for iterative refinement.
+    Works for dense or SparseCOO P/A (linalg.matops)."""
     from ..cones import ops as cone_ops
+    from ..linalg import matops
 
-    n = P.shape[0]
+    n = matops.nrows(P)
 
     def matvec(x):
         vec_in = x.ndim == 1
         X = x[:, None] if vec_in else x
         x1, x2 = X[:n], X[n:]
-        top = P @ x1 + A.T @ x2
+        top = matops.mv(P, x1) + matops.rmv(A, x2)
         k = X.shape[1]
         Hx2 = jnp.stack(
             [cone_ops.mul_Hs(layout, state, x2[:, i]) for i in range(k)],
             axis=1,
         )
-        bot = A @ x1 - Hx2
+        bot = matops.mv(A, x1) - Hx2
         out = jnp.concatenate([top, bot], axis=0)
         return out[:, 0] if vec_in else out
 

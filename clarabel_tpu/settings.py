@@ -105,8 +105,13 @@ class Settings:
     use_pallas: Optional[bool] = None
     # KKT backend: "ldl" (augmented quasidefinite LDL), "condensed"
     # (normal equations + Cholesky, few large batched ops — fastest for
-    # vmapped small instances), or "auto" (currently ldl)
+    # vmapped small instances), "blockarrow" (structured partition +
+    # Schur), or "auto" (currently ldl)
     kkt_backend: str = "auto"
+    # sparse data mode: keep P/A in COO form end-to-end with map-based
+    # block-arrow KKT assembly (None = auto: scipy-sparse inputs with
+    # n+m > 2000 and a detectable block-arrow structure)
+    sparse_data: Optional[bool] = None
 
     def __post_init__(self):
         if self.factor_dtype is None:

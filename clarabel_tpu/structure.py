@@ -69,11 +69,21 @@ class BlockArrowPlan:
         return (self.p, self.nb, self.nt, self.n, self.m, h.hexdigest())
 
 
-def _kkt_supernode_graph(P_mask, A_mask, layout: ConeLayout):
+def _as_pattern(M_or_pattern):
+    """Accept a dense mask array or a ((rows, cols), shape) tuple."""
+    if isinstance(M_or_pattern, tuple):
+        (rows, cols), shape = M_or_pattern
+        return np.asarray(rows), np.asarray(cols), shape
+    mask = np.asarray(M_or_pattern)
+    r, c = np.nonzero(mask)
+    return r, c, mask.shape
+
+
+def _kkt_supernode_graph(P_pat, A_pat, layout: ConeLayout):
     """Build the quotient graph: nodes = n variables + one node per cone
     row group.  Returns (adjacency list, node -> KKT-row lists)."""
-    n = P_mask.shape[0]
-    m = A_mask.shape[0]
+    pi, pj, (n, _) = P_pat
+    ai, aj, (m, _) = A_pat
 
     # map each conic row to its cone node; NN/zero rows are singletons,
     # SOC/PSD/exp/pow/genpow rows fuse per cone
@@ -102,16 +112,14 @@ def _kkt_supernode_graph(P_mask, A_mask, layout: ConeLayout):
     nnodes = next_node
     adj: List[set] = [set() for _ in range(nnodes)]
 
-    pi, pj = np.nonzero(P_mask)
     for i, j in zip(pi, pj):
         if i != j:
-            adj[i].add(int(j))
-            adj[j].add(int(i))
-    ai, aj = np.nonzero(A_mask)
+            adj[int(i)].add(int(j))
+            adj[int(j)].add(int(i))
     for r, c in zip(ai, aj):
         u = int(row_node[r])
         adj[u].add(int(c))
-        adj[c].add(u)
+        adj[int(c)].add(u)
     return adj, node_rows
 
 
@@ -155,11 +163,16 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
                         target_blocks: int = 8,
                         min_block: int = 8) -> Optional[BlockArrowPlan]:
     """Try to find a useful block-arrow structure; None if the separator
-    would be too large relative to N (structure not worth exploiting)."""
-    n = P_mask.shape[0]
-    m = A_mask.shape[0]
+    would be too large relative to N (structure not worth exploiting).
+
+    P_mask/A_mask: dense boolean masks OR ((rows, cols), shape) patterns.
+    """
+    P_pat = _as_pattern(P_mask)
+    A_pat = _as_pattern(A_mask)
+    n = P_pat[2][0]
+    m = A_pat[2][0]
     N = n + m
-    adj, node_rows = _kkt_supernode_graph(P_mask, A_mask, layout)
+    adj, node_rows = _kkt_supernode_graph(P_pat, A_pat, layout)
 
     # recursive bisection until we reach the target block count
     parts: List[List[int]] = [list(range(len(adj)))]

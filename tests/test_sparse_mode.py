@@ -1,0 +1,65 @@
+"""Sparse data mode: COO end-to-end with map-based block-arrow assembly.
+
+Solutions must match the dense path exactly (same algorithm, different
+data representation)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from clarabel_tpu import Solver, Settings, SolverStatus
+
+from test_blockarrow_backend import banded_qp
+
+
+def test_sparse_mode_matches_dense():
+    P, q, A, b, cones = banded_qp(grid=20)
+    sol_dense = Solver(P, q, A, b, cones).solve()
+
+    s_sparse = Solver(
+        sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones,
+        Settings(sparse_data=True),
+    )
+    assert getattr(s_sparse, "_sparse_mode", False), "sparse mode not engaged"
+    sol_sparse = s_sparse.solve()
+    assert sol_sparse.status == SolverStatus.SOLVED == sol_dense.status
+    assert np.linalg.norm(sol_sparse.x - sol_dense.x) < 1e-7
+    assert sol_sparse.r_prim < 1e-8 and sol_sparse.r_dual < 1e-8
+
+
+def test_sparse_mode_auto_threshold():
+    """Auto mode engages for large scipy-sparse inputs with structure."""
+    P, q, A, b, cones = banded_qp(grid=400)  # N = 2800 > 2000
+    s = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones)
+    assert getattr(s, "_sparse_mode", False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert sol.r_prim < 1e-8
+
+
+def test_sparse_mode_dense_fallback():
+    """Unstructured sparse input falls back to the dense path."""
+    rng = np.random.default_rng(0)
+    n = 30
+    F = rng.standard_normal((n, n))
+    P = F @ F.T + np.eye(n)
+    A = np.vstack([rng.standard_normal((5, n)), -np.eye(n)])
+    b = np.concatenate([A[:5] @ np.ones(n) + 1.0, np.ones(n) * 5])
+    from clarabel_tpu import NonnegativeConeT
+
+    s = Solver(
+        sp.csr_matrix(P), q=rng.standard_normal(n), A=sp.csr_matrix(A), b=b,
+        cones=[NonnegativeConeT(5 + n)], settings=Settings(sparse_data=True),
+    )
+    assert not getattr(s, "_sparse_mode", False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+
+
+def test_sparse_mode_presolve_and_updates_guard():
+    P, q, A, b, cones = banded_qp(grid=20)
+    s = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones,
+               Settings(sparse_data=True))
+    assert s._sparse_mode
+    with pytest.raises(ValueError, match="sparse"):
+        s.update_b(b)
