@@ -162,3 +162,32 @@ def maxcut_sdp(nv=100, density=0.05, seed=0):
     b_psd = -svec(L / 4.0)
     cones = [PSDTriangleConeT(nv)]
     return P, q, A_psd, b_psd, cones
+
+
+def large_banded_qp_sparse(grid=2500, seed=0):
+    """Large banded QP assembled directly in scipy sparse (AUG2DC-scale):
+    n = 2*grid variables, grid chain equalities, 4*grid bounds.
+    Exercises the sparse data mode end-to-end."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(seed)
+    n = 2 * grid
+    diag = rng.uniform(1.0, 3.0, n)
+    off = rng.uniform(-0.4, 0.4, n - 1)
+    P = sps.diags([off, diag, off], offsets=[-1, 0, 1], format="csr")
+    q = rng.standard_normal(n)
+    m_eq = grid
+    rows = np.repeat(np.arange(m_eq), 2)
+    cols = np.empty(2 * m_eq, dtype=np.int64)
+    cols[0::2] = 2 * np.arange(m_eq)
+    cols[1::2] = 2 * np.arange(m_eq) + 1
+    vals = np.tile([1.0, -1.0], m_eq)
+    Aeq = sps.coo_matrix((vals, (rows, cols)), shape=(m_eq, n)).tocsr()
+    beq = rng.standard_normal(m_eq) * 0.1
+    eye = sps.identity(n, format="csr")
+    A = sps.vstack([Aeq, eye, -eye]).tocsr()
+    b = np.concatenate([beq, 5 * np.ones(n), 5 * np.ones(n)])
+    from clarabel_tpu import ZeroConeT, NonnegativeConeT
+
+    cones = [ZeroConeT(m_eq), NonnegativeConeT(2 * n)]
+    return P, q, A, b, cones
