@@ -31,7 +31,7 @@ from ..cones import ops as cone_ops
 @dataclasses.dataclass
 class AssemblyMaps:
     dest: np.ndarray         # (n_src,) flat index into [D|B|C] buffer (OOB = drop)
-    buf_init: np.ndarray     # (buf_size,) ones at padded diagonal positions
+    pad_diag_dest: np.ndarray  # positions of padded diagonal unit pivots
     diag_dest: np.ndarray    # (N,) destination of each true KKT diagonal
     diag_signs: np.ndarray   # (N,) ±1 in KKT row order
     n_P: int
@@ -123,20 +123,22 @@ def build_assembly_maps(P_pattern, A_pattern, layout: ConeLayout,
     ]
     dest = np.concatenate(dests)
 
-    # buffer init: identity pivots at padded diagonal positions of D
-    buf_init = np.zeros(buf_size)
+    # identity pivots at padded diagonal positions of D (as an index
+    # list — a dense buffer-sized init would become a huge HLO constant)
+    pad_diag = []
     for i in range(p):
         rows = plan.block_idx[i]
         for j in range(nb):
             if rows[j] >= N:
-                buf_init[i * nb * nb + j * nb + j] = 1.0
+                pad_diag.append(i * nb * nb + j * nb + j)
+    pad_diag_dest = np.asarray(pad_diag, dtype=np.int64)
 
     diag_dest = dest_of(np.arange(N), np.arange(N))
     assert not np.any(diag_dest == DROP)
     diag_signs = np.concatenate([np.ones(n), -np.ones(m)])
 
     return AssemblyMaps(
-        dest=dest, buf_init=buf_init, diag_dest=diag_dest,
+        dest=dest, pad_diag_dest=pad_diag_dest, diag_dest=diag_dest,
         diag_signs=diag_signs, n_P=len(Pr), n_A=len(Ar),
         n_hs=len(hr), plan=plan,
     )
@@ -153,7 +155,9 @@ def assemble_blocks(maps: AssemblyMaps, P_vals, A_vals, hs_vals, settings,
     src = jnp.concatenate([
         P_vals, A_vals, A_vals, -hs_vals
     ]).astype(dtype)
-    buf = jnp.asarray(maps.buf_init, dtype)
+    buf = jnp.zeros((maps.buf_size,), dtype)
+    if len(maps.pad_diag_dest):
+        buf = buf.at[jnp.asarray(maps.pad_diag_dest)].set(1.0)
     buf = buf.at[jnp.asarray(maps.dest)].add(src, mode="drop")
 
     # static regularization ±eps on the true diagonal
