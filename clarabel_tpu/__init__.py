@@ -37,6 +37,8 @@ from .cones.api import (
     PSDTriangleConeT,
 )
 from .api import Solver, DefaultSolution, DefaultInfo
+from . import modeling
+from . import precompile
 from .parallel.batch import BatchSolver
 from .io.json_io import save_to_file, load_from_file
 
