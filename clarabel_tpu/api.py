@@ -272,23 +272,32 @@ class Solver:
         p_nonzero = bool(np.any(self._P_full != 0))
         self._p_nonzero = p_nonzero
 
-        # block-arrow structure detection (host-side, pattern-based)
+        # block-arrow structure detection (host-side, pattern-based):
+        # explicit "blockarrow", or "auto" probes for structure on
+        # larger problems and uses it when a good separator exists
         self._structure = None
-        if self.settings.kkt_backend == "blockarrow":
+        backend = self.settings.kkt_backend
+        if backend == "blockarrow" or (
+            backend == "auto" and n + m > 1024
+        ):
             from .structure import analyze_block_arrow
 
             self._structure = analyze_block_arrow(
                 self._P_full != 0, self._A != 0, self.layout
             )
+        if backend == "auto":
+            backend = "blockarrow" if self._structure is not None else "ldl"
+        self._backend = backend
 
-        cache_key = (self.layout.key, n, p_nonzero,
+        cache_key = (self.layout.key, n, p_nonzero, backend,
                      dataclasses.astuple(self.settings),
                      None if self._structure is None else self._structure.key)
         if cache_key not in _SOLVE_CACHE:
             import jax
 
             base = build_solve(self.layout, self.settings, n, p_nonzero,
-                               structure=self._structure)
+                               structure=self._structure,
+                               kkt_backend=backend)
             _SOLVE_CACHE[cache_key] = (
                 jax.jit(base),
                 jax.jit(base.prepare),

@@ -190,7 +190,7 @@ def check_convergence(info: Info, res: Residuals, tols) -> jnp.ndarray:
 
 
 def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
-                structure=None, assembly=None):
+                structure=None, assembly=None, kkt_backend=None):
     """Build the end-to-end jitted solve function for a fixed problem
     structure (cone layout + dimensions).
 
@@ -208,6 +208,8 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
     # generalized power cones only support dual scaling
     # (reference: coneops_genpowcone.jl:21)
     allows_pd = not any(g.kind == "genpow" for g in layout.groups.values())
+    if kkt_backend is None:
+        kkt_backend = settings.kkt_backend
     scaling0 = PRIMAL_DUAL if allows_pd else DUAL
     is_symmetric = layout.is_symmetric
     eps_T = float(np.finfo(dtype).eps)
@@ -256,7 +258,7 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             return fac.ok, solve_xz, solve_xz2
 
         Hs = cone_ops.hs_dense(layout, state, dtype)
-        if settings.kkt_backend == "blockarrow" and structure is not None:
+        if kkt_backend == "blockarrow" and structure is not None:
             from ..kkt import blockarrow as kkt_ba
 
             fac = kkt_ba.assemble_and_factor_blockarrow(
@@ -276,7 +278,7 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
 
             return fac.ok, solve_xz, solve_xz2
 
-        if settings.kkt_backend == "condensed":
+        if kkt_backend == "condensed":
             from ..kkt import condensed as kkt_cond
 
             fac, _ = kkt_cond.assemble_and_factor_condensed(
