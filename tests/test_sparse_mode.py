@@ -63,3 +63,52 @@ def test_sparse_mode_presolve_and_updates_guard():
     assert s._sparse_mode
     with pytest.raises(ValueError, match="sparse"):
         s.update_b(b)
+
+
+def test_sparse_mode_with_socs():
+    """Sparse mode with mixed cones: the Hs assembly maps must place SOC
+    dense blocks correctly."""
+    rng = np.random.default_rng(4)
+    grid = 30
+    n = 2 * grid
+    # banded QP base
+    P, q, A, b, cones = banded_qp(grid=grid)
+    # append a few small SOC constraints on local variable pairs
+    soc_rows = []
+    soc_bs = []
+    from clarabel_tpu import SecondOrderConeT
+
+    for k in range(4):
+        j = 2 * (k * grid // 4)
+        C = np.zeros((3, n))
+        C[1, j] = 1.0
+        C[2, j + 1] = 1.0
+        soc_rows.append(-C)
+        bvec = np.zeros(3)
+        bvec[0] = 3.0
+        soc_bs.append(bvec)
+        cones = cones + [SecondOrderConeT(3)]
+    A = np.vstack([A] + soc_rows)
+    b = np.concatenate([b] + soc_bs)
+
+    sol_dense = Solver(P, q, A, b, cones).solve()
+    s_sp = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones,
+                  Settings(sparse_data=True))
+    assert s_sp._sparse_mode
+    sol_sp = s_sp.solve()
+    assert sol_sp.status == SolverStatus.SOLVED == sol_dense.status
+    assert np.linalg.norm(sol_sp.x - sol_dense.x) < 1e-7
+
+
+def test_empty_psd_cone_dropped():
+    """reference: basic_sdp.jl 'empty SDP cone' case."""
+    from clarabel_tpu import PSDTriangleConeT
+
+    P = np.eye(6)
+    q = np.zeros(6)
+    A = np.eye(6)
+    b = np.array([-3.0, 1.0, 4.0, 1.0, 2.0, 5.0])
+    cones = [PSDTriangleConeT(3), PSDTriangleConeT(0)]
+    sol = Solver(P, q, A, b, cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert abs(sol.obj_val - 4.840076866013861) < 1e-4
