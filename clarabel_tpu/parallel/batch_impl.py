@@ -58,8 +58,17 @@ class BatchSolver:
         self.m = self.layout.m
         self._mesh = mesh
 
+        # batched workloads: "auto" resolves to the condensed backend —
+        # measured fastest for vmapped small instances (few large batched
+        # ops instead of per-column elimination kernels)
+        backend = self.settings.kkt_backend
+        if backend == "auto" and not any(
+            g.kind == "zero" for g in self.layout.groups.values()
+        ):
+            backend = "condensed"
         solve_one = build_solve(
-            self.layout, self.settings, n, p_nonzero=p_nonzero
+            self.layout, self.settings, n, p_nonzero=p_nonzero,
+            kkt_backend=backend,
         )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
