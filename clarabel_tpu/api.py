@@ -104,10 +104,15 @@ class Solver:
             self.setup(P, q, A, b, cones)
 
     # ------------------------------------------------------------------
-    def _setup_sparse(self, P, q, A, b, cones, t0) -> bool:
+    def _setup_sparse(self, P, q, A, b, cones, t0,
+                      preprocessed: bool = False) -> bool:
         """Sparse-data setup: COO P/A end-to-end with map-based
         block-arrow KKT assembly.  Returns False (caller falls back to
-        the dense path) when no usable structure is found."""
+        the dense path) when no usable structure is found.
+
+        `preprocessed=True` skips presolve/chordal state resets (used when
+        re-entering after the dense path already applied them, e.g. on
+        chordal-decomposed output)."""
         from .linalg.matops import make_sparse_coo
         from .structure import analyze_block_arrow
         from .kkt.assembly_maps import build_assembly_maps
@@ -123,23 +128,25 @@ class Solver:
                 "Constraint dimensions inconsistent with size of cones"
             )
 
-        cones = cones_collapse(list(cones))
-        infinity = get_infinity()
-        b = np.minimum(b, infinity)
+        if not preprocessed:
+            cones = cones_collapse(list(cones))
+            infinity = get_infinity()
+            b = np.minimum(b, infinity)
 
-        self.presolver = None
-        if self.settings.presolve_enable:
-            pres = presolve_mod.try_presolve(A, b, cones, infinity)
-            if pres is not None:
-                self.presolver = pres
-                A = A[pres.keep_logical]
-                b = b[pres.keep_logical]
-                cones = pres.reduced_cones
-                m = b.shape[0]
+            self.presolver = None
+            if self.settings.presolve_enable:
+                pres = presolve_mod.try_presolve(A, b, cones, infinity)
+                if pres is not None:
+                    self.presolver = pres
+                    A = A[pres.keep_logical]
+                    b = b[pres.keep_logical]
+                    cones = pres.reduced_cones
+                    m = b.shape[0]
 
-        # chordal decomposition is a dense-path feature for now
-        self.chordal_info = None
-        self._n_orig = n
+            # chordal decomposition runs on the dense path; its output may
+            # re-enter here with preprocessed=True
+            self.chordal_info = None
+            self._n_orig = n
 
         P_sym = (sp.triu(P) + sp.triu(P, 1).T).tocoo()
         A_coo = sp.coo_matrix(A)
@@ -257,6 +264,17 @@ class Solver:
             self.chordal_info, P_sym0, q, A, b, cones = chordal
             P = P_sym0
             n, m = A.shape[1], A.shape[0]
+            # a large decomposed problem (many clique-sized cones +
+            # overlap columns) is usually sparse: try the sparse pipeline
+            # on the transformed data
+            if n + m > 2000:
+                chordal_info = self.chordal_info
+                n_orig = self._n_orig
+                if self._setup_sparse(P_sym0, q, A, b, list(cones), t0,
+                                      preprocessed=True):
+                    self.chordal_info = chordal_info
+                    self._n_orig = n_orig
+                    return self
 
         self._P_full = P_sym0
         self._q = q

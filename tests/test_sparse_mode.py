@@ -112,3 +112,17 @@ def test_empty_psd_cone_dropped():
     sol = Solver(P, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED
     assert abs(sol.obj_val - 4.840076866013861) < 1e-4
+
+
+def test_chordal_then_sparse_pipeline():
+    """Large decomposed SDP: chordal decomposition output re-enters the
+    sparse pipeline (many clique cones + overlap columns are sparse)."""
+    from test_chordal import block_arrow_sdp
+
+    P, q, A, b, cones = block_arrow_sdp(k=120, w=3)
+    s = Solver(P, q, A, b, cones)
+    assert s.chordal_info is not None
+    assert getattr(s, "_sparse_mode", False)
+    sol = s.solve()
+    assert sol.status in (SolverStatus.SOLVED, SolverStatus.ALMOST_SOLVED)
+    assert sol.r_prim < 1e-6
