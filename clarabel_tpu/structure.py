@@ -144,16 +144,38 @@ def _bfs_order(adj, nodes):
     return order
 
 
-def _split_order(order, adj):
-    """Given a vertex ordering, split at the median and move right-side
-    boundary vertices into the separator."""
+def _split_order(order, adj, weights):
+    """Given a vertex ordering, split at the median and form the
+    separator as a greedy weighted vertex cover of the cut edges: pick
+    the endpoint with the best (cut-degree / row-weight) ratio, so cheap
+    hub variables absorb wide couplings instead of heavy cone supernodes
+    being dragged into the separator."""
     half = len(order) // 2
     left = set(order[:half])
     right = set(order[half:])
+
+    # cut edges
+    cut = {}
+    for v in right:
+        for w in adj[v]:
+            if w in left:
+                cut.setdefault(v, set()).add(w)
+                cut.setdefault(w, set()).add(v)
     sep = set()
-    for v in list(right):
-        if any(w in left for w in adj[v]):
-            sep.add(v)
+    while True:
+        best, bscore = None, 0.0
+        for v, nbrs in cut.items():
+            if v not in sep and nbrs:
+                score = len(nbrs) / max(1, weights[v])
+                if score > bscore:
+                    best, bscore = v, score
+        if best is None:
+            break
+        sep.add(best)
+        for w in list(cut.get(best, ())):
+            cut[w].discard(best)
+        cut[best] = set()
+    left -= sep
     right -= sep
     return sorted(left), sorted(right), sorted(sep)
 
@@ -185,22 +207,25 @@ def _spectral_order(adj, nodes):
     deg = np.asarray(W.sum(axis=1)).ravel()
     L = sps.diags(deg) - W
     try:
-        # shift-invert around 0 for the small eigenvalues
+        # shift-invert around 0 for the small eigenvalues; deterministic
+        # start vector (ARPACK's default random v0 would make the
+        # partition — and hence the compiled program — nondeterministic)
+        v0 = np.cos(np.arange(k) * 0.37) + 1.0
         vals, vecs = spla.eigsh(L, k=2, sigma=-1e-4, which="LM", tol=1e-4,
-                                maxiter=500)
+                                maxiter=500, v0=v0)
     except Exception:
         return None
     fiedler = vecs[:, np.argsort(vals)[1]]
     return [nodes[i] for i in np.argsort(fiedler)]
 
 
-def _bisect(adj, nodes):
+def _bisect(adj, nodes, weights):
     """Split nodes into (left, right, separator): spectral ordering when
     available, BFS level-set ordering as fallback."""
     order = _spectral_order(adj, sorted(nodes))
     if order is None:
         order = _bfs_order(adj, nodes)
-    return _split_order(order, adj)
+    return _split_order(order, adj, weights)
 
 
 def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
@@ -217,6 +242,7 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
     m = A_pat[2][0]
     N = n + m
     adj, node_rows = _kkt_supernode_graph(P_pat, A_pat, layout)
+    weights = [len(r) for r in node_rows]
 
     # recursive bisection until we reach the target block count
     parts: List[List[int]] = [list(range(len(adj)))]
@@ -227,7 +253,7 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
         if len(big) < 2 * min_block:
             parts.append(big)
             break
-        left, right, sep = _bisect(adj, big)
+        left, right, sep = _bisect(adj, big, weights)
         if not left or not right:
             parts.append(big)
             break
