@@ -304,7 +304,17 @@ class Solver:
                 self._P_full != 0, self._A != 0, self.layout
             )
         if backend == "auto":
-            backend = "blockarrow" if self._structure is not None else "ldl"
+            if self._structure is not None:
+                backend = "blockarrow"
+            elif m >= 3 * n and not any(
+                g.kind == "zero" for g in self.layout.groups.values()
+            ):
+                # tall problems: eliminating the conic block analytically
+                # beats factoring the (n+m) augmented system
+                # (robust-LS m=2000/n=500: 6.6s vs 12.7s measured)
+                backend = "condensed"
+            else:
+                backend = "ldl"
         self._backend = backend
 
         cache_key = (self.layout.key, n, p_nonzero, backend,
