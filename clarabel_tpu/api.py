@@ -306,12 +306,13 @@ class Solver:
         if backend == "auto":
             if self._structure is not None:
                 backend = "blockarrow"
-            elif m >= 3 * n and not any(
+            elif m >= 3 * n and m >= 500 and not any(
                 g.kind == "zero" for g in self.layout.groups.values()
             ):
-                # tall problems: eliminating the conic block analytically
-                # beats factoring the (n+m) augmented system
-                # (robust-LS m=2000/n=500: 6.6s vs 12.7s measured)
+                # large tall problems: eliminating the conic block
+                # analytically beats factoring the (n+m) augmented system
+                # (robust-LS m=2000/n=500: 6.6s vs 12.7s measured); small
+                # problems stay on the more robust LDL path
                 backend = "condensed"
             else:
                 backend = "ldl"

@@ -206,17 +206,27 @@ def _spectral_order(adj, nodes):
     ).tocsr()
     deg = np.asarray(W.sum(axis=1)).ravel()
     L = sps.diags(deg) - W
-    try:
-        # shift-invert around 0 for the small eigenvalues; deterministic
-        # start vector (ARPACK's default random v0 would make the
-        # partition — and hence the compiled program — nondeterministic)
-        v0 = np.cos(np.arange(k) * 0.37) + 1.0
-        vals, vecs = spla.eigsh(L, k=2, sigma=-1e-4, which="LM", tol=1e-4,
-                                maxiter=500, v0=v0)
-    except Exception:
+
+    # Fiedler-vector approximation by deflated shifted power iteration:
+    # iterate x <- (cI - L)x with the constant vector projected out.
+    # Deterministic, dependency-free, and immune to the ARPACK/SuperLU
+    # shift-invert crashes seen on disconnected Laplacians.
+    c = 2.0 * deg.max() + 1.0
+    x = np.cos(np.arange(k) * 0.37) + 0.1
+    ones = np.ones(k) / np.sqrt(k)
+    x = x - (x @ ones) * ones
+    nrm = np.linalg.norm(x)
+    if nrm == 0:
         return None
-    fiedler = vecs[:, np.argsort(vals)[1]]
-    return [nodes[i] for i in np.argsort(fiedler)]
+    x /= nrm
+    for _ in range(60):
+        x = c * x - L @ x
+        x = x - (x @ ones) * ones
+        nrm = np.linalg.norm(x)
+        if not np.isfinite(nrm) or nrm == 0:
+            return None
+        x /= nrm
+    return [nodes[i] for i in np.argsort(x)]
 
 
 def _bisect(adj, nodes, weights):

@@ -16,3 +16,21 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_solver_caches():
+    """Free compiled-executable memory between test modules: dozens of
+    distinct problem structures otherwise accumulate compiled programs
+    and can push the XLA CPU compiler into OOM segfaults."""
+    yield
+    from clarabel_tpu.api import _SOLVE_CACHE
+
+    _SOLVE_CACHE.clear()
+    jax.clear_caches()
+    gc.collect()
