@@ -126,3 +126,40 @@ def test_chordal_then_sparse_pipeline():
     sol = s.solve()
     assert sol.status in (SolverStatus.SOLVED, SolverStatus.ALMOST_SOLVED)
     assert sol.r_prim < 1e-6
+
+
+def test_sparse_mode_with_exp_cones():
+    """Nonsymmetric cones through the sparse assembly maps."""
+    from clarabel_tpu import ExponentialConeT, ZeroConeT
+
+    P, q, A, b, cones = banded_qp(grid=25)
+    n = 50
+    # entropy-like terms on two variable pairs: (t_i, 1, x_j) in Kexp
+    # with t_i new variables appended
+    nt = 2
+    P2 = np.zeros((n + nt, n + nt))
+    P2[:n, :n] = P
+    q2 = np.concatenate([q, -np.ones(nt)])
+    A2 = np.zeros((A.shape[0], n + nt))
+    A2[:, :n] = A
+    rows = []
+    bs2 = []
+    for i in range(nt):
+        C = np.zeros((3, n + nt))
+        C[0, n + i] = -1.0    # s1 = t_i
+        C[2, 4 * i] = -1.0    # s3 = x_{4i}
+        rows.append(C)
+        bs2.append(np.array([0.0, 1.0, 1.0]))  # s2 = 1, s3 = 1 + x
+        cones = cones + [ExponentialConeT()]
+    Afull = np.vstack([A2] + rows)
+    bfull = np.concatenate([b] + bs2)
+
+    sol_dense = Solver(P2, q2, Afull, bfull, cones).solve()
+    s_sp = Solver(sp.csr_matrix(P2), q2, sp.csr_matrix(Afull), bfull, cones,
+                  Settings(sparse_data=True))
+    if not s_sp._sparse_mode:
+        pytest.skip("no structure found for this instance")
+    sol_sp = s_sp.solve()
+    assert sol_sp.status == sol_dense.status
+    if sol_dense.status == SolverStatus.SOLVED:
+        assert np.linalg.norm(sol_sp.x - sol_dense.x) < 1e-6
