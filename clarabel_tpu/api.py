@@ -178,6 +178,14 @@ class Solver:
             make_sparse_coo(P_sym), q, make_sparse_coo(A_coo), b,
         )
 
+        # sparse warm-update state: the symmetric-P COO / A COO entry
+        # order is frozen at setup; data updates rewrite only the value
+        # arrays (reference: src/data_updating.jl nzval writes into KKT
+        # via index maps; here the map is COO-data-order alignment)
+        from .data_updating import SparseUpdateMaps
+
+        self._sparse_maps = SparseUpdateMaps.build(P_sym, A_coo, n)
+
         cache_key = (layout.key, n, self._p_nonzero, "sparse",
                      dataclasses.astuple(self.settings), maps.key)
         if cache_key not in _SOLVE_CACHE:

@@ -56,13 +56,64 @@ def test_sparse_mode_dense_fallback():
     assert sol.status == SolverStatus.SOLVED
 
 
-def test_sparse_mode_presolve_and_updates_guard():
+def test_sparse_mode_update_b_and_q():
+    """Warm b/q updates in sparse mode match a fresh solve (reference:
+    src/data_updating.jl vector updates)."""
     P, q, A, b, cones = banded_qp(grid=20)
     s = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones,
-               Settings(sparse_data=True))
+               Settings(sparse_data=True, presolve_enable=False))
     assert s._sparse_mode
-    with pytest.raises(ValueError, match="sparse"):
-        s.update_b(b)
+    s.solve()
+
+    b2 = b * 0.9
+    q2 = q + 0.25
+    s.update_data(q=q2, b=b2)
+    sol = s.solve()
+    fresh = Solver(P, q2, A, b2, cones,
+                   Settings(presolve_enable=False)).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.linalg.norm(sol.x - fresh.x) < 1e-7
+
+
+def test_sparse_mode_update_P_and_A():
+    """Matrix updates in sparse mode: nzval vector (CSC order, the
+    reference's native form), triplets, and full same-pattern matrix."""
+    P, q, A, b, cones = banded_qp(grid=20)
+    settings = Settings(sparse_data=True, presolve_enable=False)
+    s = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones, settings)
+    assert s._sparse_mode
+    s.solve()
+
+    # (a) full-matrix P update (same pattern, scaled values)
+    P2 = 2.0 * P
+    s.update_P(sp.csr_matrix(P2))
+    # (b) nzval-vector A update: CSC nzvals of a scaled A
+    A2 = 1.5 * A
+    s.update_A(sp.csc_matrix(A2).data.astype(np.float64))
+    sol = s.solve()
+    fresh = Solver(P2, q, A2, b, cones,
+                   Settings(presolve_enable=False)).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.linalg.norm(sol.x - fresh.x) < 1e-7
+
+    # (c) triplet P update on existing diagonal entries
+    s2 = Solver(sp.csr_matrix(P), q, sp.csr_matrix(A), b, cones, settings)
+    s2.solve()
+    s2.update_P(([0, 1], [0, 1], [P[0, 0] * 3.0, P[1, 1] * 3.0]))
+    P3 = P.copy()
+    P3[0, 0] *= 3.0
+    P3[1, 1] *= 3.0
+    sol2 = s2.solve()
+    fresh2 = Solver(P3, q, A, b, cones,
+                    Settings(presolve_enable=False)).solve()
+    assert np.linalg.norm(sol2.x - fresh2.x) < 1e-7
+
+    # (d) entries outside the original pattern are rejected
+    with pytest.raises(ValueError, match="pattern"):
+        s2.update_A(([0], [s2.n - 1], [1.0]))
+    # (e) lower-triangle P indices are rejected
+    with pytest.raises(ValueError, match="upper triangle"):
+        s2.update_P(([1], [0], [1.0]))
 
 
 def test_sparse_mode_with_socs():
