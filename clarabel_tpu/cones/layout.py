@@ -12,6 +12,8 @@ per group instead of a per-cone loop.
 """
 
 import dataclasses
+
+import jax
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -185,3 +187,80 @@ class ConeLayout:
         for c in self.cones:
             counts[type(c).__name__] += 1
         return dict(counts)
+
+
+# ---------------------------------------------------------------------------
+# static index helpers: slice instead of gather for contiguous groups
+# ---------------------------------------------------------------------------
+
+def _contig_start(g: ConeGroup):
+    """Trace-time check: group indices are one contiguous range (the
+    common case — cones are laid out consecutively).  Contiguous groups
+    use static slices instead of gathers: on TPU a vmapped gather carries
+    broadcast index tensors through the loop (profiled at ~1 ms/copy),
+    while a slice is free."""
+    cached = getattr(g, "_contig_cache", "unset")
+    if cached != "unset":
+        return cached
+    flat = np.asarray(g.idx).ravel()
+    start = int(flat[0]) if flat.size else 0
+    padded = g.true_dims is not None and bool(
+        np.any(np.asarray(g.true_dims) != g.idx.shape[1])
+    )
+    val = (
+        start
+        if flat.size and not padded and np.array_equal(
+            flat, np.arange(start, start + flat.size)
+        )
+        else None
+    )
+    g._contig_cache = val
+    return val
+
+
+def _gather(vec, g: ConeGroup):
+    start = _contig_start(g)
+    if start is not None:
+        sl = jax.lax.slice_in_dim(vec, start, start + g.count * g.width,
+                                  axis=0)
+        return sl.reshape((g.count, g.width) + vec.shape[1:])
+    # bucketed groups carry out-of-bounds pad indices: gather fills 0
+    # (exact for SOC zero-padding), scatters drop them
+    return vec.at[g.idx].get(mode="fill", fill_value=0.0)
+
+
+def _scatter(out, g: ConeGroup, vals):
+    start = _contig_start(g)
+    if start is not None:
+        flat = vals.reshape((g.count * g.width,) + vals.shape[2:])
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, flat.astype(out.dtype), start, axis=0
+        )
+    return out.at[g.idx].set(vals, mode="drop")
+
+
+def _row_range(g: ConeGroup):
+    """Contiguous range of a flat (1, k) elementwise group, or None."""
+    row = np.asarray(g.idx[0])
+    start = int(row[0]) if row.size else 0
+    if row.size and np.array_equal(row, np.arange(start, start + row.size)):
+        return start, start + row.size
+    return None
+
+
+def _grow(vec, g: ConeGroup):
+    """vec[g.idx[0]] as a slice when contiguous."""
+    rng = _row_range(g)
+    if rng is not None:
+        return jax.lax.slice_in_dim(vec, rng[0], rng[1], axis=0)
+    return vec[g.idx[0]]
+
+
+def _srow_set(out, g: ConeGroup, vals):
+    """out.at[g.idx[0]].set(vals) as a slice-update when contiguous."""
+    rng = _row_range(g)
+    if rng is not None:
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, vals.astype(out.dtype), rng[0], axis=0
+        )
+    return out.at[g.idx[0]].set(vals)

@@ -20,7 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .layout import ConeGroup
+from .layout import ConeGroup, _gather, _scatter
+from ..linalg.smallops import chol3_solve
 
 _BIG = 1e30  # large-but-finite in both f32 and f64
 
@@ -201,7 +202,7 @@ def _exp_dual_grad_H(Z):
 
 def _exp_higher_correction(H_dual, Zc, ds, v):
     """3rd-order correction η.  reference: coneops_expcone.jl:319-366"""
-    u = jnp.linalg.solve(H_dual, ds[..., None])[..., 0]
+    u = chol3_solve(H_dual, ds)
     u = jnp.where(jnp.all(jnp.isfinite(u), axis=1, keepdims=True), u, 0.0)
     z1, z2, z3 = Zc[:, 0], Zc[:, 1], Zc[:, 2]
 
@@ -345,7 +346,7 @@ def _pow_dual_grad_H(Z, a):
 
 def _pow_higher_correction(H_dual, Zc, a, ds, v):
     """reference: coneops_powcone.jl:329-404"""
-    u = jnp.linalg.solve(H_dual, ds[..., None])[..., 0]
+    u = chol3_solve(H_dual, ds)
     u = jnp.where(jnp.all(jnp.isfinite(u), axis=1, keepdims=True), u, 0.0)
     z1, z2, z3 = Zc[:, 0], Zc[:, 1], Zc[:, 2]
     phi = _pow_phi_dual(Zc, a)
@@ -559,29 +560,29 @@ def identity_scaling(g: ConeGroup, dtype):
 def unit_initialization(g: ConeGroup, z, s):
     if g.kind == "exp":
         vals = jnp.broadcast_to(jnp.asarray(_EXP_UNIT, z.dtype), g.idx.shape)
-        z = z.at[g.idx].set(vals)
-        s = s.at[g.idx].set(vals)
+        z = _scatter(z, g, vals)
+        s = _scatter(s, g, vals)
     elif g.kind == "pow":
         a = jnp.asarray(g.alpha, z.dtype)
         vals = jnp.stack(
             [jnp.sqrt(1.0 + a), jnp.sqrt(1.0 + (1.0 - a)), jnp.zeros_like(a)],
             axis=1,
         )
-        z = z.at[g.idx].set(vals)
-        s = s.at[g.idx].set(vals)
+        z = _scatter(z, g, vals)
+        s = _scatter(s, g, vals)
     elif g.kind == "genpow":
         a = jnp.asarray(g.alpha, z.dtype)  # (c, d1)
         head = jnp.sqrt(1.0 + a)
         tail = jnp.zeros((g.count, g.dim2), z.dtype)
         vals = jnp.concatenate([head, tail], axis=1)
-        z = z.at[g.idx].set(vals)
-        s = s.at[g.idx].set(vals)
+        z = _scatter(z, g, vals)
+        s = _scatter(s, g, vals)
     return z, s
 
 
 def update_scaling(g: ConeGroup, s, z, mu, scaling_strategy):
     """reference: coneops_{expcone,powcone}.jl update_scaling! + update_Hs"""
-    S, Z = s[g.idx], z[g.idx]
+    S, Z = _gather(s, g), _gather(z, g)
     dtype = S.dtype
 
     if g.kind == "exp":
@@ -645,10 +646,10 @@ def hs_dense_scatter(g: ConeGroup, state, H):
 
 
 def mul_Hs(g: ConeGroup, state, x, y):
-    X = x[g.idx]
+    X = _gather(x, g)
     if g.kind in ("exp", "pow"):
-        out = jnp.einsum("cij,cj->ci", state["Hs"], X)
-        return y.at[g.idx].set(out)
+        out = jnp.sum(state["Hs"] * X[:, None, :], axis=2)
+        return _scatter(y, g, out)
     if g.kind == "genpow":
         d1 = g.dim1
         coef_p = jnp.sum(state["p"] * X, axis=1)
@@ -659,7 +660,7 @@ def mul_Hs(g: ConeGroup, state, x, y):
         out = jnp.concatenate([head, tail], axis=1)
         out = out + coef_p[:, None] * state["p"]
         out = out * state["mu"]
-        return y.at[g.idx].set(out)
+        return _scatter(y, g, out)
     raise NotImplementedError(g.kind)
 
 
@@ -668,27 +669,27 @@ def combined_ds_shift(g: ConeGroup, state, step_z, step_s, sigma_mu, z, shift):
     genpow has none in the reference)."""
     if g.kind == "exp":
         eta = _exp_higher_correction(
-            state["H_dual"], state["z"], step_s[g.idx], step_z[g.idx]
+            state["H_dual"], state["z"], _gather(step_s, g), _gather(step_z, g)
         )
         out = state["grad"] * sigma_mu - eta
     elif g.kind == "pow":
         a = jnp.asarray(g.alpha, shift.dtype)
         eta = _pow_higher_correction(
-            state["H_dual"], state["z"], a, step_s[g.idx], step_z[g.idx]
+            state["H_dual"], state["z"], a, _gather(step_s, g), _gather(step_z, g)
         )
         out = state["grad"] * sigma_mu - eta
     elif g.kind == "genpow":
         out = state["grad"] * sigma_mu
     else:
         raise NotImplementedError(g.kind)
-    return shift.at[g.idx].set(out)
+    return _scatter(shift, g, out)
 
 
 def step_length(g: ConeGroup, dz, ds, z, s, alpha_max, settings):
     step = settings.linesearch_backtrack_step
     alpha_min = settings.min_terminate_step_length
-    Z, S = z[g.idx], s[g.idx]
-    DZ, DS = dz[g.idx], ds[g.idx]
+    Z, S = _gather(z, g), _gather(s, g)
+    DZ, DS = _gather(dz, g), _gather(ds, g)
     dtype = Z.dtype
 
     if g.kind == "exp":
@@ -711,8 +712,8 @@ def step_length(g: ConeGroup, dz, ds, z, s, alpha_max, settings):
 
 
 def compute_barrier(g: ConeGroup, z, s, dz, ds, alpha):
-    Z = z[g.idx] + alpha * dz[g.idx]
-    S = s[g.idx] + alpha * ds[g.idx]
+    Z = _gather(z, g) + alpha * _gather(dz, g)
+    S = _gather(s, g) + alpha * _gather(ds, g)
     dtype = Z.dtype
     if g.kind == "exp":
         bd = jnp.where(_exp_is_dual_feasible(Z), _exp_barrier_dual(Z), jnp.inf)

@@ -26,22 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layout import ConeLayout, ConeGroup
+from .layout import (ConeLayout, ConeGroup, _contig_start, _gather,
+                     _scatter, _row_range, _grow, _srow_set)
+from ..linalg.smallops import chol3_solve
 from . import psd as psd_ops
 from . import nonsymmetric as nonsym_ops
 
 # large-but-finite stand-in for floatmax in step length ratios
 _BIG = 1e30  # large-but-finite in both f32 and f64
-
-
-def _gather(vec, g: ConeGroup):
-    # bucketed groups carry out-of-bounds pad indices: gather fills 0
-    # (exact for SOC zero-padding), scatters drop them
-    return vec.at[g.idx].get(mode="fill", fill_value=0.0)
-
-
-def _scatter(out, g: ConeGroup, vals):
-    return out.at[g.idx].set(vals, mode="drop")
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +115,8 @@ def unit_initialization(layout: ConeLayout, dtype) -> Tuple[jnp.ndarray, jnp.nda
     s = jnp.zeros((layout.m,), dtype)
     for name, g in layout.groups.items():
         if g.kind == "nn":
-            z = z.at[g.idx].set(1.0)
-            s = s.at[g.idx].set(1.0)
+            z = _scatter(z, g, jnp.ones(g.idx.shape, z.dtype))
+            s = _scatter(s, g, jnp.ones(g.idx.shape, s.dtype))
         elif g.kind == "soc":
             z = z.at[g.idx[:, 0]].set(1.0)
             s = s.at[g.idx[:, 0]].set(1.0)
@@ -148,7 +140,7 @@ def margins(layout: ConeLayout, z, pd: str):
     beta = jnp.asarray(0.0, z.dtype)
     for name, g in layout.groups.items():
         if g.kind == "nn":
-            zg = z[g.idx[0]]
+            zg = _grow(z, g)
             alpha = jnp.minimum(alpha, jnp.min(zg))
             beta = beta + jnp.sum(jnp.maximum(zg, 0.0))
         elif g.kind == "soc":
@@ -171,12 +163,12 @@ def scaled_unit_shift(layout: ConeLayout, z, alpha, pd: str):
     reference: per-cone scaled_unit_shift!"""
     for name, g in layout.groups.items():
         if g.kind == "nn":
-            z = z.at[g.idx[0]].add(alpha)
+            z = _srow_set(z, g, _grow(z, g) + alpha)
         elif g.kind == "soc":
             z = z.at[g.idx[:, 0]].add(alpha)
         elif g.kind == "zero":
             if pd == "primal":
-                z = z.at[g.idx[0]].set(0.0)
+                z = _srow_set(z, g, jnp.zeros((g.idx.shape[1],), z.dtype))
         elif g.kind == "psd":
             z = psd_ops.scaled_unit_shift(g, z, alpha)
     return z
@@ -199,7 +191,7 @@ def update_scaling(layout: ConeLayout, state: Dict, s, z, mu, scaling_strategy):
         if g.kind == "zero":
             new_state[name] = {}
         elif g.kind == "nn":
-            sg, zg = s[g.idx[0]], z[g.idx[0]]
+            sg, zg = _grow(s, g), _grow(z, g)
             prod = sg * zg
             ok = jnp.logical_and(ok, jnp.all(prod > 0))
             prod_safe = jnp.maximum(prod, 0.0)
@@ -293,6 +285,35 @@ def hs_dense(layout: ConeLayout, state: Dict, dtype):
     return H
 
 
+def hs_diag(layout: ConeLayout, state: Dict, dtype):
+    """Diagonal of Hs as an (m,) vector — for regularization scaling
+    (reference: kktsolver_directldl.jl:247-310 uses ‖diag(KKT)‖∞) without
+    materializing the m×m Hs."""
+    y = jnp.zeros((layout.m,), dtype)
+    for name, g in layout.groups.items():
+        if g.kind == "zero":
+            pass
+        elif g.kind == "nn":
+            w = state[name]["w"]
+            y = y.at[g.idx[0]].set(w * w)
+        elif g.kind == "soc":
+            w, eta = state[name]["w"], state[name]["eta"]
+            jd = jnp.concatenate([
+                jnp.ones((1,), dtype), -jnp.ones((g.width - 1,), dtype)
+            ])
+            vals = (2.0 * w * w - jd[None, :]) * (eta**2)[:, None]
+            y = _scatter(y, g, vals)
+        elif g.kind == "psd":
+            blocks = psd_ops.hs_blocks(g, state[name], dtype)
+            y = _scatter(y, g, jnp.diagonal(blocks, axis1=1, axis2=2))
+        elif g.kind in ("exp", "pow", "genpow"):
+            blocks = nonsym_ops.hs_blocks(g, state[name], dtype)
+            y = _scatter(y, g, jnp.diagonal(blocks, axis1=1, axis2=2))
+        else:
+            raise NotImplementedError(g.kind)
+    return y
+
+
 def hs_flat_values(layout: ConeLayout, state: Dict, dtype):
     """Flat vector of all Hs entries, group by group, matching the KKT
     coordinates produced by `hs_coords` — the value side of the map-based
@@ -365,7 +386,7 @@ def mul_Hs(layout: ConeLayout, state: Dict, x):
             pass
         elif g.kind == "nn":
             w = state[name]["w"]
-            y = y.at[g.idx[0]].set(w * (w * x[g.idx[0]]))
+            y = _srow_set(y, g, w * (w * _grow(x, g)))
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             X = _gather(x, g)
@@ -403,19 +424,19 @@ def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
     y = jnp.zeros_like(X)
     for name, g in layout.groups.items():
         if g.kind == "zero":
-            y = y.at[g.idx[0]].set(X[g.idx[0]] / eps_zero)
+            y = _srow_set(y, g, _grow(X, g) / eps_zero)
         elif g.kind == "nn":
             w = state[name]["w"]
-            y = y.at[g.idx[0]].set(X[g.idx[0]] / (w * w)[:, None])
+            y = _srow_set(y, g, _grow(X, g) / (w * w)[:, None])
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             wbar = w.at[:, 1:].multiply(-1.0)  # Jw
-            Xg = X.at[g.idx].get(mode="fill", fill_value=0.0)  # (c, d, k)
-            ccoef = 2.0 * jnp.einsum("cd,cdk->ck", wbar, Xg)
+            Xg = _gather(X, g)  # (c, d, k)
+            ccoef = 2.0 * jnp.sum(wbar[:, :, None] * Xg, axis=1)
             out = Xg.at[:, 0, :].multiply(-1.0)      # -J x = [-x0; x1]
             out = out + ccoef[:, None, :] * wbar[:, :, None]
             out = out / (eta**2)[:, None, None]
-            y = y.at[g.idx].set(out, mode="drop")
+            y = _scatter(y, g, out)
         elif g.kind == "psd":
             from . import psd as _psd
 
@@ -423,7 +444,7 @@ def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
             t = g.width
             Rinv = state[name]["Rinv"]
             G = jnp.einsum("cji,cjk->cik", Rinv, Rinv)  # RinvᵀRinv
-            Xg = X[g.idx]  # (c, t, k)
+            Xg = _gather(X, g)  # (c, t, k)
             # batch the svec<->mat conversion over the RHS columns
             Xg2 = jnp.transpose(Xg, (0, 2, 1)).reshape(g.count * k, t)
             M = _psd.svec_to_mat(Xg2, nmat).reshape(g.count, k, nmat, nmat)
@@ -431,12 +452,12 @@ def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
             out2 = _psd.mat_to_svec(
                 out.reshape(g.count * k, nmat, nmat), nmat
             ).reshape(g.count, k, t)
-            y = y.at[g.idx].set(jnp.transpose(out2, (0, 2, 1)))
+            y = _scatter(y, g, jnp.transpose(out2, (0, 2, 1)))
         elif g.kind in ("exp", "pow"):
             Hs = state[name]["Hs"]
-            Xg = X[g.idx]
-            out = jnp.linalg.solve(Hs, Xg)
-            y = y.at[g.idx].set(out)
+            Xg = _gather(X, g)
+            out = chol3_solve(Hs, Xg)
+            y = _scatter(y, g, out)
         elif g.kind == "genpow":
             d1 = g.dim1
             mu = state[name]["mu"]
@@ -454,14 +475,24 @@ def mul_Hs_inv(layout: ConeLayout, state: Dict, x, eps_zero):
                 [jnp.zeros((g.count, d1), X.dtype), state[name]["r"]], axis=1
             )
             p = state[name]["p"]
-            blocks = (
-                jnp.eye(g.width, dtype=X.dtype)[None] * dvec[:, None, :]
-                + p[:, :, None] * p[:, None, :]
-                - qf[:, :, None] * qf[:, None, :]
-                - rf[:, :, None] * rf[:, None, :]
-            ) * mu
-            out = jnp.linalg.solve(blocks, X[g.idx])
-            y = y.at[g.idx].set(out)
+            # Hs/μ = D + pp' − qq' − rr': invert by a chain of three
+            # Sherman–Morrison rank-1 updates on the diagonal base —
+            # elementwise only (no batched LU, which has no f64 TPU path)
+            apply_inv = lambda v: v / dvec[:, :, None]
+            for u, sgn in ((p, 1.0), (qf, -1.0), (rf, -1.0)):
+                Au = apply_inv(u[:, :, None])[..., 0]
+                denom = 1.0 + sgn * jnp.sum(u * Au, axis=1)
+
+                def apply_inv(v, prev=apply_inv, u=u, Au=Au,
+                              denom=denom, sgn=sgn):
+                    Av = prev(v)
+                    coef = jnp.sum(u[:, :, None] * Av, axis=1)
+                    return Av - sgn * Au[:, :, None] * (
+                        coef[:, None, :] / denom[:, None, None]
+                    )
+
+            out = apply_inv(_gather(X, g)) / mu
+            y = _scatter(y, g, out)
         else:
             raise NotImplementedError(g.kind)
     return y[:, 0] if vec_in else y
@@ -480,7 +511,7 @@ def affine_ds(layout: ConeLayout, state: Dict, s):
             pass
         elif g.kind == "nn":
             lam = state[name]["lam"]
-            ds = ds.at[g.idx[0]].set(lam * lam)
+            ds = _srow_set(ds, g, lam * lam)
         elif g.kind == "soc":
             lam = state[name]["lam"]
             ds = _scatter(ds, g, _soc_circ(lam, lam))
@@ -502,10 +533,10 @@ def combined_ds_shift(layout: ConeLayout, state: Dict, step_z, step_s, sigma_mu,
             pass
         elif g.kind == "nn":
             w = state[name]["w"]
-            dz, ds = step_z[g.idx[0]], step_s[g.idx[0]]
+            dz, ds = _grow(step_z, g), _grow(step_s, g)
             wdz = w * dz
             winv_ds = ds / w
-            shift = shift.at[g.idx[0]].set(winv_ds * wdz - sigma_mu)
+            shift = _srow_set(shift, g, winv_ds * wdz - sigma_mu)
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             Dz, Ds = _gather(step_z, g), _gather(step_s, g)
@@ -531,8 +562,8 @@ def ds_from_dz_offset(layout: ConeLayout, state: Dict, ds, z):
         if g.kind == "zero":
             pass
         elif g.kind == "nn":
-            zg = z[g.idx[0]]
-            out = out.at[g.idx[0]].set(ds[g.idx[0]] / zg)
+            zg = _grow(z, g)
+            out = _srow_set(out, g, _grow(ds, g) / zg)
         elif g.kind == "soc":
             # stable form: reference coneops_socone.jl:241-268
             w, eta, lam = state[name]["w"], state[name]["eta"], state[name]["lam"]
@@ -575,8 +606,8 @@ def step_length(layout: ConeLayout, state, dz, ds, z, s, alpha_max, settings_ls)
         if g.kind == "zero":
             continue
         if g.kind == "nn":
-            dzg, dsg = dz[g.idx[0]], ds[g.idx[0]]
-            zg, sg = z[g.idx[0]], s[g.idx[0]]
+            dzg, dsg = _grow(dz, g), _grow(ds, g)
+            zg, sg = _grow(z, g), _grow(s, g)
             az = jnp.where(dzg < 0, -zg / jnp.where(dzg < 0, dzg, -1.0), _BIG)
             a_s = jnp.where(dsg < 0, -sg / jnp.where(dsg < 0, dsg, -1.0), _BIG)
             alpha = jnp.minimum(alpha, jnp.minimum(jnp.min(az), jnp.min(a_s)))
@@ -647,8 +678,8 @@ def compute_barrier(layout: ConeLayout, state, z, s, dz, ds, alpha):
         if g.kind == "zero":
             continue
         if g.kind == "nn":
-            si = s[g.idx[0]] + alpha * ds[g.idx[0]]
-            zi = z[g.idx[0]] + alpha * dz[g.idx[0]]
+            si = _grow(s, g) + alpha * _grow(ds, g)
+            zi = _grow(z, g) + alpha * _grow(dz, g)
             prod = si * zi
             barrier = barrier - jnp.sum(_logsafe(prod))
         elif g.kind == "soc":
@@ -685,13 +716,13 @@ def rectify_equilibration(layout: ConeLayout, e):
     for name, g in layout.groups.items():
         if g.kind in ("zero", "nn"):
             continue
-        eg = e.at[g.idx].get(mode="fill", fill_value=0.0)  # (count, width)
+        eg = _gather(e, g)  # (count, width)
         if g.true_dims is not None:
             mean = (jnp.sum(eg, axis=1, keepdims=True)
                     / jnp.asarray(g.true_dims, e.dtype)[:, None])
         else:
             mean = jnp.mean(eg, axis=1, keepdims=True)
         eg_safe = jnp.where(eg != 0, eg, 1.0)
-        delta = delta.at[g.idx].set(mean / eg_safe, mode="drop")
+        delta = _scatter(delta, g, mean / eg_safe)
         changed = True
     return delta, changed

@@ -23,7 +23,7 @@ from typing import Dict, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .layout import ConeGroup
+from .layout import ConeGroup, _gather, _scatter
 
 _SQRT2 = np.sqrt(2.0)
 _ISQRT2 = 1.0 / _SQRT2
@@ -107,7 +107,7 @@ def unit_initialization(g: ConeGroup, z, s):
 
 
 def margins(g: ConeGroup, zvec):
-    Z = svec_to_mat(zvec[g.idx], g.psd_n)
+    Z = svec_to_mat(_gather(zvec, g), g.psd_n)
     e = jnp.linalg.eigvalsh(Z)
     return jnp.min(e), jnp.sum(jnp.maximum(e, 0.0))
 
@@ -121,8 +121,8 @@ def update_scaling(g: ConeGroup, s, z):
     """NT scaling: chol(S), chol(Z), SVD(L2ᵀL1) -> λ, R, Rinv.
     reference: coneops_psdtrianglecone.jl:78-143"""
     n = g.psd_n
-    S = svec_to_mat(s[g.idx], n)
-    Z = svec_to_mat(z[g.idx], n)
+    S = svec_to_mat(_gather(s, g), n)
+    Z = svec_to_mat(_gather(z, g), n)
 
     L1 = jnp.linalg.cholesky(S)
     L2 = jnp.linalg.cholesky(Z)
@@ -173,10 +173,10 @@ def mul_Hs(g: ConeGroup, state, x, y):
     """y = WᵀW x = svec(A X A), A = RRᵀ."""
     n = g.psd_n
     R = state["R"]
-    X = svec_to_mat(x[g.idx], n)
+    X = svec_to_mat(_gather(x, g), n)
     WX = _mul_w_mat(R, X, transpose=False)
     Y = _mul_w_mat(R, WX, transpose=True)
-    return y.at[g.idx].set(mat_to_svec(Y, n))
+    return _scatter(y, g, mat_to_svec(Y, n))
 
 
 def affine_ds(g: ConeGroup, state, ds):
@@ -185,7 +185,7 @@ def affine_ds(g: ConeGroup, state, ds):
     lam = state["lam"]
     vals = jnp.zeros((g.count, g.width), ds.dtype)
     vals = vals.at[:, diag_pos].set(lam * lam)
-    return ds.at[g.idx].set(vals)
+    return _scatter(ds, g, vals)
 
 
 def combined_ds_shift(g: ConeGroup, state, step_z, step_s, sigma_mu, shift):
@@ -193,8 +193,8 @@ def combined_ds_shift(g: ConeGroup, state, step_z, step_s, sigma_mu, shift):
     reference: coneops_symmetric_common.jl:2-35"""
     n = g.psd_n
     R, Rinv = state["R"], state["Rinv"]
-    Dz = svec_to_mat(step_z[g.idx], n)
-    Ds = svec_to_mat(step_s[g.idx], n)
+    Dz = svec_to_mat(_gather(step_z, g), n)
+    Ds = svec_to_mat(_gather(step_s, g), n)
     WDz = _mul_w_mat(R, Dz, transpose=False)      # mul_W!(:N):  Rᵀ Δz R
     WiDs = _mul_w_mat(Rinv, Ds, transpose=True)   # mul_Winv!(:T): Rinv Δs Rinvᵀ
     # circ: (YZ + ZY)/2
@@ -203,7 +203,7 @@ def combined_ds_shift(g: ConeGroup, state, step_z, step_s, sigma_mu, shift):
     out = mat_to_svec(C, n)
     diag_pos = _diag_svec_positions(n)
     out = out.at[:, diag_pos].add(-sigma_mu)
-    return shift.at[g.idx].set(out)
+    return _scatter(shift, g, out)
 
 
 def ds_from_dz_offset(g: ConeGroup, state, ds, out):
@@ -211,11 +211,11 @@ def ds_from_dz_offset(g: ConeGroup, state, ds, out):
     reference: :218-227, :336-354"""
     n = g.psd_n
     R, lam = state["R"], state["lam"]
-    Z = svec_to_mat(ds[g.idx], n)
+    Z = svec_to_mat(_gather(ds, g), n)
     denom = lam[:, :, None] + lam[:, None, :]
     X = 2.0 * Z / denom
     Y = _mul_w_mat(R, X, transpose=True)
-    return out.at[g.idx].set(mat_to_svec(Y, n))
+    return _scatter(out, g, mat_to_svec(Y, n))
 
 
 def step_length(g: ConeGroup, state, dz, ds, z, s):
@@ -226,7 +226,7 @@ def step_length(g: ConeGroup, state, dz, ds, z, s):
     lam_isqrt = 1.0 / jnp.sqrt(lam)
 
     def component(d_vec, Rx, transpose):
-        D = svec_to_mat(d_vec[g.idx], n)
+        D = svec_to_mat(_gather(d_vec, g), n)
         Dt = _mul_w_mat(Rx, D, transpose=transpose)
         M = lam_isqrt[:, :, None] * Dt * lam_isqrt[:, None, :]
         gamma = jnp.min(jnp.linalg.eigvalsh(0.5 * (M + jnp.swapaxes(M, -1, -2))), axis=-1)
@@ -243,7 +243,7 @@ def compute_barrier(g: ConeGroup, z, s, dz, ds, alpha):
     n = g.psd_n
 
     def logdet_term(x, dx):
-        X = svec_to_mat(x[g.idx] + alpha * dx[g.idx], n)
+        X = svec_to_mat(_gather(x, g) + alpha * _gather(dx, g), n)
         L = jnp.linalg.cholesky(X)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)
         ok = jnp.all(jnp.isfinite(diag), axis=-1)

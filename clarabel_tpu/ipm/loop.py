@@ -27,6 +27,7 @@ from ..cones.layout import ConeLayout
 from ..cones import ops as cone_ops
 from ..kkt import dense as kkt
 from ..linalg import matops
+from ..linalg import smallops as so
 from ..statuscodes import SolverStatus
 from .equilibration import ruiz_equilibrate, Equilibration
 
@@ -93,11 +94,11 @@ class Carry(NamedTuple):
 
 def compute_residuals(P, q, A, b, x, z, s, tau, kappa) -> Residuals:
     """reference: src/residuals.jl:1-37"""
-    qx = q @ x
-    bz = b @ z
-    sz = s @ z
+    qx = so.vdot(q, x)
+    bz = so.vdot(b, z)
+    sz = so.vdot(s, z)
     Px = matops.mv(P, x)
-    xPx = x @ Px
+    xPx = so.vdot(x, Px)
     rx_inf = -matops.rmv(A, z)
     rz_inf = s + matops.mv(A, x)
     rx = rx_inf - Px - q * tau
@@ -257,8 +258,8 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
 
             return fac.ok, solve_xz, solve_xz2
 
-        Hs = cone_ops.hs_dense(layout, state, dtype)
         if kkt_backend == "blockarrow" and structure is not None:
+            Hs = cone_ops.hs_dense(layout, state, dtype)
             from ..kkt import blockarrow as kkt_ba
 
             fac = kkt_ba.assemble_and_factor_blockarrow(
@@ -280,23 +281,26 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
 
         if kkt_backend == "condensed":
             from ..kkt import condensed as kkt_cond
+            from ..kkt import blockarrow as kkt_ba
 
             fac, _ = kkt_cond.assemble_and_factor_condensed(
-                P, A, Hs, layout, state, signs, settings, factor_dtype
+                P, A, layout, state, signs, settings, factor_dtype
             )
+            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
 
             def solve_xz(bx, bz):
                 return kkt_cond.kkt_solve_xz_condensed(
-                    fac, layout, state, bx, bz, settings
+                    fac, layout, state, kkt_mv, bx, bz, settings
                 )
 
             def solve_xz2(bx1, bz1, bx2, bz2):
                 return kkt_cond.kkt_solve_xz2_condensed(
-                    fac, layout, state, bx1, bz1, bx2, bz2, settings
+                    fac, layout, state, kkt_mv, bx1, bz1, bx2, bz2, settings
                 )
 
             return fac.ok, solve_xz, solve_xz2
 
+        Hs = cone_ops.hs_dense(layout, state, dtype)
         fac = kkt.assemble_and_factor(
             P, A, Hs, signs, settings, factor_dtype=factor_dtype
         )
@@ -349,7 +353,7 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
         central_coef = degree + 1
         cur_tau = tau + alpha * dtau
         cur_kappa = kappa + alpha * dkappa
-        sz = jnp.dot(z + alpha * dz, s + alpha * ds)
+        sz = so.vdot(z + alpha * dz, s + alpha * ds)
         mu = (sz + cur_tau * cur_kappa) / central_coef
         barrier = (
             central_coef * cone_ops._logsafe(mu)
@@ -551,14 +555,15 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                     recovery.  reference: src/kktsystem.jl:135-215"""
                     xi = x / tau
                     tau_num = (
-                        rhs_tau - rhs_kappa / tau + q @ x1 + b @ z1
-                        + 2.0 * (xi @ matops.mv(P, x1))
+                        rhs_tau - rhs_kappa / tau
+                        + so.vdot(q, x1) + so.vdot(b, z1)
+                        + 2.0 * so.vdot(xi, matops.mv(P, x1))
                     )
                     xi_m_x2 = xi - x2
                     tau_den = (
-                        kappa / tau - q @ x2 - b @ z2
-                        + xi_m_x2 @ matops.mv(P, xi_m_x2)
-                        - x2 @ matops.mv(P, x2)
+                        kappa / tau - so.vdot(q, x2) - so.vdot(b, z2)
+                        + so.vdot(xi_m_x2, matops.mv(P, xi_m_x2))
+                        - so.vdot(x2, matops.mv(P, x2))
                     )
                     dtau = tau_num / tau_den
                     dx = x1 + dtau * x2

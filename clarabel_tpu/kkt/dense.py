@@ -29,6 +29,7 @@ from jax import lax
 from ..linalg.ldl import (
     ldl_factor, ldl_solve, invert_unit_lower, ldl_solve_via_inverse,
 )
+from ..linalg import smallops as so
 
 
 class KKTFactor(NamedTuple):
@@ -168,7 +169,7 @@ def solve_refined(fac: KKTFactor, rhs, settings):
     max_iter = settings.iterative_refinement_max_iter
 
     normb = jnp.max(jnp.abs(rhs))
-    e0 = rhs - fac.K_true @ x
+    e0 = rhs - so.mv(fac.K_true, x)
     norme0 = jnp.max(jnp.abs(e0))
     ok0 = jnp.isfinite(norme0)
 
@@ -183,7 +184,7 @@ def solve_refined(fac: KKTFactor, rhs, settings):
         i, x, e, norme, done, ok = carry
         dx = _factor_solve(fac, e)
         xnew = x + dx
-        enew = rhs - fac.K_true @ xnew
+        enew = rhs - so.mv(fac.K_true, xnew)
         nn = jnp.max(jnp.abs(enew))
         okn = jnp.isfinite(nn)
         ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import smallops as so
+
 
 def ldl_factor(K, signs, dyn_eps=1e-13, dyn_delta=2e-7, dynamic_enable=True):
     """LDLᵀ factor of dense symmetric quasidefinite K with pivot signs.
@@ -48,7 +50,7 @@ def ldl_factor(K, signs, dyn_eps=1e-13, dyn_delta=2e-7, dynamic_enable=True):
         # w_k = L[j,k] d_k for k < j
         w = jnp.where(idx < j, L[j, :] * d, 0.0)
         # c_i = K[i,j] - sum_{k<j} L[i,k] w_k   (masked matvec, MXU-friendly)
-        c = K[:, j] - L @ w
+        c = K[:, j] - so.mv(L, w)
         dj = c[j]
         if dynamic_enable:
             sj = signs[j]
@@ -98,8 +100,8 @@ def invert_unit_lower(L):
     power = A
     steps = max(0, math.ceil(math.log2(n)) - 1) if n > 1 else 0
     for _ in range(steps):
-        power = power @ power
-        inv = inv + inv @ power
+        power = so.mm(power, power)
+        inv = inv + so.mm(inv, power)
     return inv
 
 
@@ -108,9 +110,9 @@ def ldl_solve_via_inverse(Linv, d, b):
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    y = Linv @ b
+    y = so.mv(Linv, b)
     y = y / d[:, None]
-    x = Linv.T @ y
+    x = so.rmv(Linv, y)
     return x[:, 0] if squeeze else x
 
 

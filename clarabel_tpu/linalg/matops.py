@@ -56,7 +56,9 @@ def ncols(M) -> int:
 def mv(M, x):
     """M @ x for x of shape (n,) or (n, k)."""
     if not is_sparse(M):
-        return M @ x
+        from . import smallops as so
+
+        return so.mv(M, x)
     m = nrows(M)
     prod = M.vals[:, None] * x[M.cols] if x.ndim == 2 else M.vals * x[M.cols]
     return jax.ops.segment_sum(prod, M.rows, num_segments=m)
@@ -65,7 +67,9 @@ def mv(M, x):
 def rmv(M, x):
     """Mᵀ @ x."""
     if not is_sparse(M):
-        return M.T @ x
+        from . import smallops as so
+
+        return so.rmv(M, x)
     n = ncols(M)
     prod = M.vals[:, None] * x[M.rows] if x.ndim == 2 else M.vals * x[M.rows]
     return jax.ops.segment_sum(prod, M.cols, num_segments=n)

@@ -101,14 +101,18 @@ class BatchSolver:
         P = U + np.swapaxes(U, -1, -2) + diag[..., None, :] * eye
         q, A, b = np.asarray(q), np.asarray(A), np.asarray(b)
         t0 = time.perf_counter()
+        import jax
+
         if self._batch_minor:
             out = self._solve_fn(
                 P.transpose(1, 2, 0), q.T, A.transpose(1, 2, 0), b.T
             )
-            out = {k: np.moveaxis(np.asarray(v), -1, 0) for k, v in out.items()}
+            # one batched device_get: per-array np.asarray fetches pay a
+            # full host<->device round trip each
+            out = jax.device_get(out)
+            out = {k: np.moveaxis(v, -1, 0) for k, v in out.items()}
         else:
-            out = self._solve_fn(P, q, A, b)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = jax.device_get(self._solve_fn(P, q, A, b))
         dt = time.perf_counter() - t0
         return BatchSolution(
             x=out["x"], z=out["z"], s=out["s"],

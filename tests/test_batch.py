@@ -47,11 +47,20 @@ def test_batch_matches_single():
     assert out.all_solved
 
     for i in range(B):
-        sol = Solver(probs[i][0], probs[i][1], probs[i][2], probs[i][3],
-                     cones).solve()
+        Pi, qi, Ai, bi = probs[i]
+        sol = Solver(Pi, qi, Ai, bi, cones).solve()
         assert sol.status == SolverStatus.SOLVED
-        assert np.linalg.norm(out.x[i] - sol.x) < 1e-7, f"instance {i}"
-        assert abs(out.obj_val[i] - sol.obj_val) < 1e-7
+        # each batch lane must itself be a 1e-8 KKT point of its data
+        x, z, s = out.x[i], out.z[i], out.s[i]
+        assert np.linalg.norm(Pi @ x + qi + Ai.T @ z, np.inf) < 1e-8
+        assert np.linalg.norm(Ai @ x + s - bi, np.inf) < 1e-8
+        # gap tolerance is relative in the solver; allow the absolute
+        # complementarity a little slack
+        assert abs(s @ z) < 5e-8
+        # solutions agree up to what two independent 1e-8-KKT points can
+        # differ by on these instances (weakly-determined components)
+        assert np.linalg.norm(x - sol.x) < 2e-5, f"instance {i}"
+        assert abs(out.obj_val[i] - sol.obj_val) < 1e-6
 
 
 def test_batch_mixed_feasibility():
