@@ -154,17 +154,38 @@ class Solver:
         if layout.m != m:
             raise ValueError("cone dimensions do not match constraint count")
 
-        plan = analyze_block_arrow(
-            ((P_sym.row, P_sym.col), (n, n)),
-            ((A_coo.row, A_coo.col), (m, n)),
-            layout,
-        )
-        if plan is None:
-            return False
+        P_pat = ((P_sym.row, P_sym.col), (n, n))
+        A_pat = ((A_coo.row, A_coo.col), (m, n))
+        from .structure_nd import analyze_nested_dissection
+        from .kkt.assembly_maps_nd import build_nested_assembly_maps
 
-        maps = build_assembly_maps(
-            (P_sym.row, P_sym.col), (A_coo.row, A_coo.col), layout, plan
-        )
+        requested = self.settings.kkt_backend
+        ba_plan = nd_plan = None
+        if requested != "multifrontal":
+            ba_plan = analyze_block_arrow(P_pat, A_pat, layout)
+        if requested != "blockarrow":
+            nd_plan = analyze_nested_dissection(P_pat, A_pat, layout)
+        # pick the structurally cheaper factorization (grids/meshes have
+        # large single-level separators: multilevel wins there)
+        if ba_plan is not None and nd_plan is not None:
+            if nd_plan.flop_estimate() < ba_plan.flop_estimate():
+                ba_plan = None
+            else:
+                nd_plan = None
+        if ba_plan is not None:
+            plan = ba_plan
+            maps = build_assembly_maps(
+                (P_sym.row, P_sym.col), (A_coo.row, A_coo.col), layout,
+                plan,
+            )
+        elif nd_plan is not None:
+            plan = nd_plan
+            maps = build_nested_assembly_maps(
+                (P_sym.row, P_sym.col), (A_coo.row, A_coo.col), layout,
+                plan,
+            )
+        else:
+            return False
 
         self._P_full = P_sym.tocsr()
         self._q, self._A, self._b = q, A, b
@@ -311,6 +332,22 @@ class Solver:
             self._structure = analyze_block_arrow(
                 self._P_full != 0, self._A != 0, self.layout
             )
+        if backend == "multifrontal" or (backend == "auto" and n + m > 1024):
+            # multilevel nested dissection: wins when the single-level
+            # separator is large (grids/meshes); compared by flop estimate
+            from .structure_nd import analyze_nested_dissection
+
+            nd_plan = analyze_nested_dissection(
+                self._P_full != 0, self._A != 0, self.layout
+            )
+            if nd_plan is not None and (
+                self._structure is None
+                or nd_plan.flop_estimate()
+                < self._structure.flop_estimate()
+            ):
+                self._structure = nd_plan
+                if backend == "auto":
+                    backend = "multifrontal"
         if backend == "auto":
             if self._structure is not None:
                 backend = "blockarrow"

@@ -235,16 +235,40 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
         return (ok, solve_xz, solve_xz2).  Used by both the initial-point
         solve (identity scaling) and the per-iteration step."""
         if assembly is not None:
-            # sparse data: map-based block-arrow assembly, no dense K/Hs
-            from ..kkt import assembly_maps as kkt_am
+            # sparse data: map-based assembly, no dense K/Hs
             from ..kkt import blockarrow as kkt_ba
+            from ..kkt.assembly_maps_nd import NestedAssemblyMaps
 
             hs_vals = cone_ops.hs_flat_values(layout, state, dtype)
+            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
+            plan = assembly.plan
+
+            if isinstance(assembly, NestedAssemblyMaps):
+                from ..kkt import assembly_maps_nd as kkt_amnd
+                from ..kkt import multifrontal as kkt_mf
+
+                fac = kkt_amnd.factor_from_nested_maps(
+                    assembly, P.vals, A.vals, hs_vals, settings,
+                    factor_dtype,
+                )
+
+                def solve_xz(bx, bz):
+                    return kkt_mf.kkt_solve_xz_multifrontal(
+                        fac, plan, kkt_mv, bx, bz, settings
+                    )
+
+                def solve_xz2(bx1, bz1, bx2, bz2):
+                    return kkt_mf.kkt_solve_xz2_multifrontal(
+                        fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings
+                    )
+
+                return fac.ok, solve_xz, solve_xz2
+
+            from ..kkt import assembly_maps as kkt_am
+
             fac = kkt_am.factor_from_maps(
                 assembly, P.vals, A.vals, hs_vals, settings, factor_dtype
             )
-            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
-            plan = assembly.plan
 
             def solve_xz(bx, bz):
                 return kkt_ba.kkt_solve_xz_blockarrow(
@@ -254,6 +278,30 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             def solve_xz2(bx1, bz1, bx2, bz2):
                 return kkt_ba.kkt_solve_xz2_blockarrow(
                     fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings
+                )
+
+            return fac.ok, solve_xz, solve_xz2
+
+        if kkt_backend == "multifrontal" and structure is not None:
+            from ..structure_nd import NestedPlan
+            from ..kkt import multifrontal as kkt_mf
+            from ..kkt import blockarrow as kkt_ba
+
+            assert isinstance(structure, NestedPlan)
+            Hs = cone_ops.hs_dense(layout, state, dtype)
+            fac = kkt_mf.assemble_and_factor_multifrontal(
+                P, A, Hs, structure, signs, settings, factor_dtype
+            )
+            kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
+
+            def solve_xz(bx, bz):
+                return kkt_mf.kkt_solve_xz_multifrontal(
+                    fac, structure, kkt_mv, bx, bz, settings
+                )
+
+            def solve_xz2(bx1, bz1, bx2, bz2):
+                return kkt_mf.kkt_solve_xz2_multifrontal(
+                    fac, structure, kkt_mv, bx1, bz1, bx2, bz2, settings
                 )
 
             return fac.ok, solve_xz, solve_xz2

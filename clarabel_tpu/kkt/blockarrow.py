@@ -132,45 +132,11 @@ def _ba_apply(fac: BlockArrowFactorS, plan: BlockArrowPlan, rhs):
 def solve_refined_blockarrow(fac, plan, kkt_mv, rhs, settings):
     """Block-arrow solve + iterative refinement on the augmented residual
     (computed with the parts-composed matvec, not a materialized K)."""
-    x = _ba_apply(fac, plan, rhs)
+    from .refine import solve_refined
 
-    abstol = settings.iterative_refinement_abstol
-    reltol = settings.iterative_refinement_reltol
-    stop_ratio = settings.iterative_refinement_stop_ratio
-    max_iter = settings.iterative_refinement_max_iter
-
-    normb = jnp.max(jnp.abs(rhs))
-    e0 = rhs - kkt_mv(x)
-    norme0 = jnp.max(jnp.abs(e0))
-    ok0 = jnp.isfinite(norme0)
-
-    def cond(carry):
-        i, x, e, norme, done, ok = carry
-        return jnp.logical_and(
-            jnp.logical_and(i < max_iter, jnp.logical_not(done)),
-            jnp.logical_and(ok, norme > abstol + reltol * normb),
-        )
-
-    def body(carry):
-        i, x, e, norme, done, ok = carry
-        dx = _ba_apply(fac, plan, e)
-        xnew = x + dx
-        enew = rhs - kkt_mv(xnew)
-        nn = jnp.max(jnp.abs(enew))
-        okn = jnp.isfinite(nn)
-        ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)
-        stop = ratio < stop_ratio
-        accept = jnp.logical_and(okn, jnp.logical_or(~stop, ratio > 1.0))
-        x = jnp.where(accept, xnew, x)
-        e = jnp.where(accept, enew, e)
-        norme = jnp.where(accept, nn, norme)
-        return (i + 1, x, e, norme, jnp.logical_or(stop, ~okn),
-                jnp.logical_and(ok, okn))
-
-    _, x, _, norme, _, ok = lax.while_loop(
-        cond, body, (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
+    return solve_refined(
+        lambda r: _ba_apply(fac, plan, r), kkt_mv, rhs, settings
     )
-    return x, jnp.logical_and(ok, jnp.isfinite(norme))
 
 
 def kkt_solve_xz_blockarrow(fac, plan, kkt_mv, bx, bz, settings):

@@ -105,8 +105,10 @@ class Settings:
     use_pallas: Optional[bool] = None
     # KKT backend: "ldl" (augmented quasidefinite LDL), "condensed"
     # (normal equations + Cholesky, few large batched ops — fastest for
-    # vmapped small instances), "blockarrow" (structured partition +
-    # Schur), or "auto" (currently ldl)
+    # vmapped small instances), "blockarrow" (single-level structured
+    # partition + Schur), "multifrontal" (multilevel nested-dissection,
+    # level-synchronous vmapped fronts — for grid/mesh structure whose
+    # single-level separator is large), or "auto" (structure-probing)
     kkt_backend: str = "auto"
     # sparse data mode: keep P/A in COO form end-to-end with map-based
     # block-arrow KKT assembly (None = auto: scipy-sparse inputs with

@@ -55,6 +55,12 @@ class BlockArrowPlan:
     def nt(self) -> int:
         return self.tail_idx.shape[0]
 
+    def flop_estimate(self) -> float:
+        """Rough factorization flop count (for backend auto-selection,
+        comparable with NestedPlan.flop_estimate)."""
+        p, nb, nt = self.p, self.nb, self.nt
+        return p * (nb ** 3 / 3 + nb ** 2 * nt + nb * nt ** 2) + nt ** 3 / 3
+
     @property
     def key(self):
         # content hash: the index arrays are baked into the compiled
@@ -207,25 +213,37 @@ def _spectral_order(adj, nodes):
     deg = np.asarray(W.sum(axis=1)).ravel()
     L = sps.diags(deg) - W
 
-    # Fiedler-vector approximation by deflated shifted power iteration:
-    # iterate x <- (cI - L)x with the constant vector projected out.
-    # Deterministic, dependency-free, and immune to the ARPACK/SuperLU
-    # shift-invert crashes seen on disconnected Laplacians.
-    c = 2.0 * deg.max() + 1.0
-    x = np.cos(np.arange(k) * 0.37) + 0.1
+    # Fiedler vector by shifted INVERSE iteration with CG solves and the
+    # constant vector deflated.  Plain power iteration on (cI − L) needs
+    # O(k) sweeps to separate λ₂ from λ₃ on mesh-like graphs; inverse
+    # iteration converges in a handful.  CG keeps this factorization-free
+    # (immune to the ARPACK/SuperLU shift-invert crashes on disconnected
+    # Laplacians); every failure path falls back to BFS ordering (None).
+    sigma = 1e-4 * max(deg.max(), 1.0)
+    Ls = (L + sigma * sps.eye(k)).tocsr()
     ones = np.ones(k) / np.sqrt(k)
-    x = x - (x @ ones) * ones
+
+    def project(v):
+        return v - (v @ ones) * ones
+
+    x = project(np.cos(np.arange(k) * 0.37) + 0.1)
     nrm = np.linalg.norm(x)
     if nrm == 0:
         return None
     x /= nrm
-    for _ in range(60):
-        x = c * x - L @ x
-        x = x - (x @ ones) * ones
-        nrm = np.linalg.norm(x)
-        if not np.isfinite(nrm) or nrm == 0:
+    for _ in range(12):
+        y, info = spla.cg(Ls, x, x0=x, rtol=1e-3, maxiter=400)
+        if info < 0 or not np.all(np.isfinite(y)):
             return None
-        x /= nrm
+        y = project(y)
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            return None
+        xn = y / nrm
+        if np.linalg.norm(xn - np.sign(xn @ x) * x) < 1e-4:
+            x = xn
+            break
+        x = xn
     return [nodes[i] for i in np.argsort(x)]
 
 
