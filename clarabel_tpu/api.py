@@ -557,7 +557,7 @@ class Solver:
             "kkt_dim": N,
             "factor_nnz": N * (N + 1) // 2 if backend == "ldl" else
             self.n * (self.n + 1) // 2,
-            "factor_dtype": self.settings.factor_dtype,
+            "factor_dtype": self.settings.factor_dtype or "auto",
             "mixed_precision": self.settings.mixed_precision,
         }
 

@@ -26,7 +26,8 @@ def print_configuration(solver):
         print(f"    : {name} = {cnt}")
     s = solver.settings
     print(
-        f"settings:\n  dtype = {s.dtype}, factor dtype = {s.factor_dtype}\n"
+        f"settings:\n  dtype = {s.dtype}, "
+        f"factor dtype = {s.factor_dtype or 'auto'}\n"
         f"  max iter = {s.max_iter}, tol_gap = {s.tol_gap_abs:g}, "
         f"tol_feas = {s.tol_feas:g}\n"
         f"  static reg = {s.static_regularization_enable} "

@@ -123,11 +123,14 @@ def _sanitize_settings(settings: Settings) -> dict:
 
 def _settings_from_dict(d: dict) -> Settings:
     valid = {f.name for f in dataclasses.fields(Settings)}
+    # Optional fields where None is a real value (auto-resolution flags),
+    # not a sanitized infinity
+    none_ok = {"factor_dtype", "use_pallas", "sparse_data"}
     kw = {}
     for k, v in d.items():
         if k not in valid:
             continue  # ignore settings owned by other implementations
-        if v is None:
+        if v is None and k not in none_ok:
             v = float("inf")
         kw[k] = v
     return Settings(**kw)

@@ -63,7 +63,11 @@ class Settings:
     # static regularization (reference: src/settings.jl:117-119)
     static_regularization_enable: bool = True
     static_regularization_constant: float = 1e-8
-    static_regularization_proportional: float = np.finfo(np.float64).eps ** 2
+    # plain python float: a np.float64 scalar here is a strong type that
+    # silently promotes f32 factor buffers to f64 inside scatter-adds
+    static_regularization_proportional: float = float(
+        np.finfo(np.float64).eps ** 2
+    )
 
     # dynamic regularization (reference: src/settings.jl:122-124)
     dynamic_regularization_enable: bool = True
@@ -116,8 +120,12 @@ class Settings:
     sparse_data: Optional[bool] = None
 
     def __post_init__(self):
-        if self.factor_dtype is None:
-            self.factor_dtype = self.dtype
+        # factor_dtype=None stays None: it resolves at build time
+        # (ipm/loop.build_solve), where the chosen KKT backend and the
+        # execution platform are known — on TPU the multifrontal backend
+        # defaults to f32 fronts + f64 refinement, everything else to
+        # the solve dtype
+        pass
 
     def np_dtype(self):
         return np.dtype(self.dtype)
