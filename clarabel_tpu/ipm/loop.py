@@ -226,8 +226,13 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             from ..kkt.assembly_maps_nd import NestedAssemblyMaps
 
             is_mf = isinstance(assembly, NestedAssemblyMaps)
+        # zero cones put ~(-static_eps) pivots on the KKT diagonal; their
+        # Schur growth overflows f32 fronts (measured NaN on AUG2DC-scale
+        # equality QPs), so the f32 default requires a zero-cone-free layout
+        has_zero = any(g.kind == "zero" for g in layout.groups.values())
         fd = settings.dtype
         if (is_mf
+                and not has_zero
                 and settings.dtype == "float64"
                 and settings.iterative_refinement_enable
                 and not settings.mixed_precision

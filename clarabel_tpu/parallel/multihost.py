@@ -90,11 +90,36 @@ def make_solver_mesh(dp: Optional[int] = None, tp: int = 1,
                 f"tp={tp} exceeds {local} local devices; per-iteration "
                 "Schur collectives must stay on ICI"
             )
-        dev_mesh = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // n_procs if dp >= n_procs else 1, tp),
-            dcn_mesh_shape=(min(dp, n_procs), 1),
-            devices=devices,
-        )
+        try:
+            dev_mesh = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // n_procs if dp >= n_procs else 1, tp),
+                dcn_mesh_shape=(min(dp, n_procs), 1),
+                devices=devices,
+            )
+        except ValueError:
+            # devices without slice attributes (e.g. multi-process CPU
+            # simulation): group by process index manually — dp rows come
+            # from whole processes, tp stays within one process's devices
+            if dp % n_procs:
+                raise ValueError(
+                    f"dp={dp} must be a multiple of process count "
+                    f"{n_procs}"
+                )
+            by_proc = {}
+            for d in devices:
+                by_proc.setdefault(d.process_index, []).append(d)
+            rows = []
+            for pi in sorted(by_proc):
+                devs = by_proc[pi]
+                per = dp // n_procs
+                if per * tp > len(devs):
+                    raise ValueError(
+                        f"process {pi} has {len(devs)} devices, needs "
+                        f"{per * tp}"
+                    )
+                for r in range(per):
+                    rows.append(devs[r * tp:(r + 1) * tp])
+            dev_mesh = np.array(rows)
         return Mesh(dev_mesh, axis_names=("dp", "tp"))
 
     dev_mesh = np.asarray(devices[: dp * tp]).reshape(dp, tp)

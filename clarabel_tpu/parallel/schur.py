@@ -130,4 +130,8 @@ class BlockArrowKKT:
         rb = jax.device_put(jnp.asarray(rhs_blocks), self._blk_sharding)
         rt = jax.device_put(jnp.asarray(rhs_tail), self._rep_sharding)
         x, y = self._solve(self._fac, self._B, rb, rt)
+        if jax.process_count() > 1:
+            # multi-process arrays are not host-convertible here; callers
+            # read their addressable shards (see benchmarks/multihost_dryrun)
+            return x, y
         return np.asarray(x), np.asarray(y)

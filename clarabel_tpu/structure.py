@@ -213,47 +213,54 @@ def _spectral_order(adj, nodes):
     deg = np.asarray(W.sum(axis=1)).ravel()
     L = sps.diags(deg) - W
 
-    # Fiedler vector by shifted INVERSE iteration with CG solves and the
-    # constant vector deflated.  Plain power iteration on (cI − L) needs
-    # O(k) sweeps to separate λ₂ from λ₃ on mesh-like graphs; inverse
-    # iteration converges in a handful.  CG keeps this factorization-free
-    # (immune to the ARPACK/SuperLU shift-invert crashes on disconnected
-    # Laplacians); every failure path falls back to BFS ordering (None).
-    sigma = 1e-4 * max(deg.max(), 1.0)
-    Ls = (L + sigma * sps.eye(k)).tocsr()
-    ones = np.ones(k) / np.sqrt(k)
+    # Fiedler vector by LOBPCG with a Jacobi preconditioner and the
+    # constant vector deflated via the Y constraint.  Shift-invert
+    # alternatives either crash (ARPACK/SuperLU on disconnected
+    # Laplacians) or cannot separate λ₂ from the cluster of small
+    # eigenvalues on chain/mesh graphs (any safe shift σ ≫ λ₂ ≈ π²/k²).
+    # Every failure path returns None → BFS level-set ordering, and
+    # _bisect keeps whichever ordering cuts better anyway.
+    rng_x = np.cos(np.arange(k) * 0.37) + 0.1
+    X = rng_x.reshape(-1, 1)
+    Y = np.ones((k, 1))
+    Minv = sps.diags(1.0 / np.maximum(deg + 1e-3, 1e-3))
+    try:
+        import warnings
 
-    def project(v):
-        return v - (v @ ones) * ones
-
-    x = project(np.cos(np.arange(k) * 0.37) + 0.1)
-    nrm = np.linalg.norm(x)
-    if nrm == 0:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            vals, vecs = spla.lobpcg(
+                L, X, Y=Y, M=Minv, largest=False,
+                maxiter=min(500, 4 * int(np.sqrt(k)) + 50), tol=1e-6,
+            )
+    except Exception:  # pragma: no cover - solver-internal failures
         return None
-    x /= nrm
-    for _ in range(12):
-        y, info = spla.cg(Ls, x, x0=x, rtol=1e-3, maxiter=400)
-        if info < 0 or not np.all(np.isfinite(y)):
-            return None
-        y = project(y)
-        nrm = np.linalg.norm(y)
-        if nrm == 0:
-            return None
-        xn = y / nrm
-        if np.linalg.norm(xn - np.sign(xn @ x) * x) < 1e-4:
-            x = xn
-            break
-        x = xn
+    x = vecs[:, 0]
+    if not np.all(np.isfinite(x)) or np.linalg.norm(x) == 0:
+        return None
     return [nodes[i] for i in np.argsort(x)]
 
 
 def _bisect(adj, nodes, weights):
-    """Split nodes into (left, right, separator): spectral ordering when
-    available, BFS level-set ordering as fallback."""
+    """Split nodes into (left, right, separator): try the spectral
+    (Fiedler) ordering AND the BFS level-set ordering, keep whichever
+    produces the lighter separator (BFS is exact on chains; spectral wins
+    on meshes — neither dominates)."""
+    candidates = []
     order = _spectral_order(adj, sorted(nodes))
-    if order is None:
-        order = _bfs_order(adj, nodes)
-    return _split_order(order, adj, weights)
+    if order is not None:
+        candidates.append(_split_order(order, adj, weights))
+    candidates.append(_split_order(_bfs_order(adj, nodes), adj, weights))
+    best = None
+    best_w = None
+    for cand in candidates:
+        left, right, sep = cand
+        if not left or not right:
+            continue
+        w = sum(weights[v] for v in sep)
+        if best is None or w < best_w:
+            best, best_w = cand, w
+    return best if best is not None else candidates[-1]
 
 
 def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
