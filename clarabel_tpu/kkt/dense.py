@@ -56,10 +56,14 @@ def _use_pallas(settings, factor_dtype, N: int) -> bool:
         return False  # the lane-batched kernel is f32
     if N > 80:
         return False  # VMEM block budget
-    # opt-in only: the axon remote Mosaic compiler in this environment
-    # rejects kernels ("failed to legalize func.return"); enable
-    # explicitly via Settings(use_pallas=True) where Pallas works
-    return bool(flag)
+    if flag:
+        return True
+    # auto (None): on for TPU backends.  (The historical "failed to
+    # legalize func.return" Mosaic rejection was x64-traced index maps;
+    # the kernel now traces its pallas_call under jax.enable_x64(False).)
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _factor_solve(fac: KKTFactor, rhs):

@@ -149,7 +149,10 @@ class Settings:
         regularization.  Use when 1e-5-grade solutions suffice."""
         base = dict(
             dtype="float32",
-            kkt_backend="condensed",
+            # ldl beats condensed in full-f32: 31.3k vs 12.6k solves/s on
+            # the 4096-batch SOCP (and solves more instances), with the
+            # lane-batched Pallas factor+inverse kernel engaged on TPU
+            kkt_backend="ldl",
             tol_gap_abs=1e-5, tol_gap_rel=1e-5, tol_feas=1e-5,
             tol_infeas_abs=1e-5, tol_infeas_rel=1e-5,
             reduced_tol_gap_abs=1e-3, reduced_tol_gap_rel=1e-3,

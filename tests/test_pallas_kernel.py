@@ -1,6 +1,6 @@
-"""Pallas lane-batched LDL kernel tests (interpreter mode — the kernel
-is opt-in on hardware until the environment's Mosaic compiler accepts
-kernels; see docs/STATUS.md)."""
+"""Pallas lane-batched LDL kernel tests (interpreter mode here on CPU;
+the kernel auto-enables on TPU for f32 factors — see docs/STATUS.md for
+measured on-chip numbers)."""
 
 import numpy as np
 import pytest
@@ -54,3 +54,36 @@ def test_custom_vmap_rule_with_padding():
     y = np.asarray(Linv[i]) @ b / np.asarray(d[i])
     x = np.asarray(Linv[i]).T @ y
     assert np.abs(K[i] @ x - b).max() < 1e-2  # f32 kernel tolerance
+
+
+def test_primitive_inside_cond_while_vmap():
+    """The factor-inverse primitive must batch correctly when its call
+    sits inside a lax.cond branch inside a lax.while_loop under vmap —
+    the exact nesting of the IPM loop's status-gated factorizations
+    (custom_vmap failed here with a consts_batched assertion)."""
+    K, signs = make_kkts(8, np_=3, nm=2, seed=3)
+    fi = make_factor_inverse(signs, 1e-9, 2e-7, True, interpret=True)
+
+    def solve_one(K0):
+        def body(c):
+            i, K = c
+
+            def do(K):
+                Linv, d, ok = fi(K.astype(jnp.float32))
+                return K + 0.01 * Linv.astype(K.dtype)
+
+            K = jax.lax.cond(jnp.sum(K) < 1e9, do, lambda K: K, K)
+            return (i + 1, K)
+
+        _, Kf = jax.lax.while_loop(lambda c: c[0] < 2, body,
+                                   (jnp.asarray(0), K0))
+        return Kf
+
+    out = jax.jit(jax.vmap(solve_one))(jnp.asarray(K))
+    assert out.shape == K.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # batched result equals per-instance unbatched results
+    ref = np.stack([np.asarray(jax.jit(solve_one)(jnp.asarray(K[i])))
+                    for i in range(K.shape[0])])
+    assert np.allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
