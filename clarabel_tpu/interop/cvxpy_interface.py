@@ -18,7 +18,8 @@ Usage (requires cvxpy ≥ 1.3, optional dependency):
 
 Cones supported: zero, nonnegative, SOC, PSD (scaled triangle — CVXPY's
 svec convention matches the reference's √2 off-diagonal scaling),
-exponential, 3-d power.
+exponential, 3-d power, and n-d power (PowConeND → generalized power
+cone, mirroring the reference's MOI GenPowerCone extension).
 """
 
 from __future__ import annotations
@@ -30,6 +31,10 @@ try:  # pragma: no cover - exercised only when cvxpy is installed
     from cvxpy.constraints import (
         ExpCone, NonNeg, PowCone3D, PSD, SOC, Zero,
     )
+    try:
+        from cvxpy.constraints import PowConeND
+    except ImportError:  # older cvxpy
+        PowConeND = None
     from cvxpy.reductions.solution import Solution, failure_solution
     from cvxpy.reductions.solvers.conic_solvers.conic_solver import (
         ConicSolver, dims_to_solver_dict,
@@ -76,7 +81,10 @@ class ClarabelTPU(ConicSolver):
     REQUIRES_CONSTR = True
 
     if _HAVE_CVXPY:
-        SUPPORTED_CONSTRAINTS = [Zero, NonNeg, SOC, PSD, ExpCone, PowCone3D]
+        SUPPORTED_CONSTRAINTS = [Zero, NonNeg, SOC, PSD, ExpCone,
+                                 PowCone3D]
+        if PowConeND is not None:
+            SUPPORTED_CONSTRAINTS.append(PowConeND)
 
     def __init__(self, settings=None, **kwargs):
         if not _HAVE_CVXPY:
@@ -126,6 +134,12 @@ class ClarabelTPU(ConicSolver):
             cones.append(ct.ExponentialConeT())
         for alpha in cone_dims["p3d"]:
             cones.append(ct.PowerConeT(alpha))
+        # n-dimensional power cones (cvxpy PowConeND -> generalized power
+        # cone; the reference ships the analogous MOI extension,
+        # reference: src/MOI_wrapper/MOI_extensions.jl:12-26)
+        for alpha in cone_dims.get("pnd", []):
+            alpha = np.asarray(alpha, dtype=np.float64).ravel()
+            cones.append(ct.GenPowerConeT(alpha, 1))
 
         settings = self._settings if self._settings is not None else ct.Settings()
         import dataclasses
