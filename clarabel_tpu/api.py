@@ -172,6 +172,13 @@ class Solver:
                 ba_plan = None
             else:
                 nd_plan = None
+        if ba_plan is not None and n + m <= 4096 and (
+            ba_plan.flop_estimate() > 0.5 * (n + m) ** 3 / 3.0
+        ):
+            # the "structure" doesn't beat a dense factorization by a
+            # useful margin and the problem is small enough to represent
+            # densely: let the dense path pick condensed/ldl instead
+            ba_plan = None
         if ba_plan is not None:
             plan = ba_plan
             maps = build_assembly_maps(
@@ -346,21 +353,35 @@ class Solver:
                 < self._structure.flop_estimate()
             ):
                 self._structure = nd_plan
-                if backend == "auto":
-                    backend = "multifrontal"
         if backend == "auto":
-            if self._structure is not None:
-                backend = "blockarrow"
-            elif m >= 3 * n and m >= 500 and not any(
+            # pick the cheapest factorization by flop estimate: a detected
+            # structure plan must beat dense by 2x to be worth the extra
+            # indexing machinery, and for large tall zero-cone-free
+            # problems the condensed (normal-equations) backend eliminates
+            # the conic block analytically (robust-LS m=2000/n=500:
+            # condensed 1.8s vs blocked-LDL 12.7s vs a *useless*
+            # block-arrow "structure" at 15.8s measured)
+            from .structure_nd import NestedPlan
+
+            N = n + m
+            dense_flops = N ** 3 / 3.0
+            st_flops = (self._structure.flop_estimate()
+                        if self._structure is not None else float("inf"))
+            tall = (m >= 3 * n and m >= 500 and not any(
                 g.kind == "zero" for g in self.layout.groups.values()
-            ):
-                # large tall problems: eliminating the conic block
-                # analytically beats factoring the (n+m) augmented system
-                # (robust-LS m=2000/n=500: 6.6s vs 12.7s measured); small
-                # problems stay on the more robust LDL path
+            ))
+            cond_flops = (2.0 * m * n * n + n ** 3 / 3.0) if tall \
+                else float("inf")
+            if st_flops <= min(0.5 * dense_flops, cond_flops):
+                backend = ("multifrontal"
+                           if isinstance(self._structure, NestedPlan)
+                           else "blockarrow")
+            elif tall:
                 backend = "condensed"
+                self._structure = None
             else:
                 backend = "ldl"
+                self._structure = None
         self._backend = backend
 
         cache_key = (self.layout.key, n, p_nonzero, backend,
