@@ -201,6 +201,8 @@ class Solver:
         self.layout = layout
         self._p_nonzero = P_sym.nnz > 0
         self._structure = plan
+        self._backend = ("blockarrow" if ba_plan is not None
+                         else "multifrontal")
         self._sparse_mode = True
         self._data_args = (
             make_sparse_coo(P_sym), q, make_sparse_coo(A_coo), b,
