@@ -51,6 +51,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cl_symbolic_cholesky.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
     ]
+    try:
+        lib.cl_multilevel_bisect.restype = ctypes.c_int
+        lib.cl_multilevel_bisect.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p, i64p, ctypes.c_uint64,
+        ]
+    except AttributeError:  # pragma: no cover - stale .so without the sym
+        pass
     _lib = lib
     return lib
 
@@ -83,6 +90,25 @@ def min_degree_ordering_native(adj: List[Set[int]]) -> Optional[np.ndarray]:
     perm = np.empty(n, dtype=np.int64)
     rc = lib.cl_min_degree_order(n, _p(ptr), _p(idx), _p(perm))
     return perm if rc == 0 else None
+
+
+def multilevel_bisect_native(adj: List[Set[int]], weights,
+                             seed: int = 1) -> Optional[np.ndarray]:
+    """METIS-style multilevel bisection with vertex separator (heavy-edge
+    matching coarsening + FM refinement + greedy weighted vertex cover).
+    Returns side[v] in {0 left, 1 right, 2 separator}, or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cl_multilevel_bisect"):
+        return None
+    n = len(adj)
+    ptr, idx = _adj_to_csr(adj)
+    wt = np.ascontiguousarray(weights, dtype=np.int64)
+    side = np.empty(n, dtype=np.int64)
+    rc = lib.cl_multilevel_bisect(
+        n, _p(ptr), _p(idx), _p(wt), _p(side), ctypes.c_uint64(seed)
+    )
+    return side if rc == 0 else None
 
 
 def symbolic_cholesky_native(adj: List[Set[int]], perm: np.ndarray):

@@ -241,12 +241,40 @@ def _spectral_order(adj, nodes):
     return [nodes[i] for i in np.argsort(x)]
 
 
-def _bisect(adj, nodes, weights):
-    """Split nodes into (left, right, separator): try the spectral
-    (Fiedler) ordering AND the BFS level-set ordering, keep whichever
-    produces the lighter separator (BFS is exact on chains; spectral wins
-    on meshes — neither dominates)."""
+def _multilevel_candidate(adj, nodes, weights):
+    """Native METIS-style multilevel bisection of the induced subgraph
+    (heavy-edge matching + FM refinement + weighted vertex cover); None
+    when the native library is unavailable."""
+    from .native_symbolic import multilevel_bisect_native
+
+    nodes = sorted(nodes)
+    pos = {v: i for i, v in enumerate(nodes)}
+    sub_adj = [
+        {pos[w] for w in adj[v] if w in pos} for v in nodes
+    ]
+    sub_w = [max(1, weights[v]) for v in nodes]
+    side = multilevel_bisect_native(sub_adj, sub_w)
+    if side is None:
+        return None
+    left = [nodes[i] for i in range(len(nodes)) if side[i] == 0]
+    right = [nodes[i] for i in range(len(nodes)) if side[i] == 1]
+    sep = [nodes[i] for i in range(len(nodes)) if side[i] == 2]
+    return sorted(left), sorted(right), sorted(sep)
+
+
+def _bisect(adj, nodes, weights, multilevel=False):
+    """Split nodes into (left, right, separator): race the spectral
+    (Fiedler) ordering against the BFS level-set ordering — and, when
+    `multilevel` is set, the native METIS-style multilevel bisection —
+    keeping the best (separator weight × balance²) candidate.  No single
+    strategy dominates per cut, and per-cut scores cannot see plan-level
+    padding effects, so the ND analysis additionally races WHOLE plans
+    with multilevel on/off by flop estimate (analyze_nested_dissection)."""
     candidates = []
+    if multilevel:
+        ml = _multilevel_candidate(adj, nodes, weights)
+        if ml is not None:
+            candidates.append(ml)
     order = _spectral_order(adj, sorted(nodes))
     if order is not None:
         candidates.append(_split_order(order, adj, weights))
@@ -257,9 +285,16 @@ def _bisect(adj, nodes, weights):
         left, right, sep = cand
         if not left or not right:
             continue
-        w = sum(weights[v] for v in sep)
-        if best is None or w < best_w:
-            best, best_w = cand, w
+        w = float(sum(weights[v] for v in sep))
+        # balance matters as much as separator size for the downstream
+        # level-synchronous plans: every level pads to the HEAVIEST block,
+        # so a lopsided split inflates every padded front at that level.
+        lw = sum(weights[v] for v in left)
+        rw = sum(weights[v] for v in right)
+        imb = max(lw, rw) / max(1.0, 0.5 * (lw + rw))  # 1.0 = perfect
+        score = w * imb ** 2
+        if best is None or score < best_w:
+            best, best_w = cand, score
     return best if best is not None else candidates[-1]
 
 
@@ -267,7 +302,27 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
                         target_blocks: int = 8,
                         min_block: int = 8) -> Optional[BlockArrowPlan]:
     """Try to find a useful block-arrow structure; None if the separator
-    would be too large relative to N (structure not worth exploiting).
+    would be too large relative to N.  Races plans built with the native
+    multilevel bisector on and off, keeping the cheaper flop estimate."""
+    from .native_symbolic import available as _native_available
+
+    best = None
+    modes = (False, True) if _native_available() else (False,)
+    for multilevel in modes:
+        plan = _analyze_block_arrow_once(P_mask, A_mask, layout,
+                                         target_blocks, min_block,
+                                         multilevel)
+        if plan is not None and (
+            best is None or plan.flop_estimate() < best.flop_estimate()
+        ):
+            best = plan
+    return best
+
+
+def _analyze_block_arrow_once(P_mask, A_mask, layout: ConeLayout,
+                              target_blocks: int, min_block: int,
+                              multilevel: bool) -> Optional[BlockArrowPlan]:
+    """One block-arrow analysis pass with a fixed bisector configuration.
 
     P_mask/A_mask: dense boolean masks OR ((rows, cols), shape) patterns.
     """
@@ -288,7 +343,8 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
         if len(big) < 2 * min_block:
             parts.append(big)
             break
-        left, right, sep = _bisect(adj, big, weights)
+        left, right, sep = _bisect(adj, big, weights,
+                                   multilevel=multilevel)
         if not left or not right:
             parts.append(big)
             break

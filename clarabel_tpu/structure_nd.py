@@ -107,8 +107,28 @@ def analyze_nested_dissection(P_mask, A_mask, layout,
                               max_bnd_frac: float = 0.75,
                               ) -> Optional[NestedPlan]:
     """Build a NestedPlan by recursive bisection of the KKT quotient
-    graph.  Returns None when no useful multilevel structure exists
-    (e.g. dense coupling: every split puts most rows in the separator).
+    graph; races whole plans built with the native multilevel (METIS
+    style) bisector on and off and keeps the cheaper flop estimate —
+    per-cut quality does not predict plan cost (level-synchronous fronts
+    pad to the heaviest block per level).  Returns None when no useful
+    structure exists."""
+    from .native_symbolic import available as _native_available
+
+    best = None
+    modes = (False, True) if _native_available() else (False,)
+    for multilevel in modes:
+        plan = _analyze_nd_once(P_mask, A_mask, layout, depth, min_block,
+                                max_bnd_frac, multilevel)
+        if plan is not None and (
+            best is None or plan.flop_estimate() < best.flop_estimate()
+        ):
+            best = plan
+    return best
+
+
+def _analyze_nd_once(P_mask, A_mask, layout, depth, min_block,
+                     max_bnd_frac, multilevel) -> Optional[NestedPlan]:
+    """One ND analysis pass with a fixed bisector configuration.
 
     P_mask/A_mask: dense boolean masks OR ((rows, cols), shape) patterns.
     """
@@ -143,7 +163,8 @@ def analyze_nested_dissection(P_mask, A_mask, layout,
             rec(nodes, 2 * t + 1, level + 1)
             rec([], 2 * t + 2, level + 1)
             return
-        left, right, sep = _bisect(adj, sorted(nodes), weights)
+        left, right, sep = _bisect(adj, sorted(nodes), weights,
+                                   multilevel=multilevel)
         if not left or not right:
             own_q[t] = []
             rec(sorted(nodes), 2 * t + 1, level + 1)
