@@ -228,8 +228,12 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             is_mf = isinstance(assembly, NestedAssemblyMaps)
         # zero cones put ~(-static_eps) pivots on the KKT diagonal; their
         # Schur growth overflows f32 fronts (measured NaN on AUG2DC-scale
-        # equality QPs), so the f32 default requires a zero-cone-free layout
-        has_zero = any(g.kind == "zero" for g in layout.groups.values())
+        # equality QPs).  PSD-cone Hs blocks fail the same way (chordal
+        # max-cut: NUMERICAL_ERROR at iteration 1 with f32 fronts, solved
+        # with f64 — measured on both CPU and v5e).  The f32 default
+        # therefore requires a layout of only nn/soc/exp/pow cones.
+        has_zero = any(g.kind in ("zero", "psd")
+                       for g in layout.groups.values())
         fd = settings.dtype
         if (is_mf
                 and not has_zero

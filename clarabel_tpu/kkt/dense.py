@@ -143,13 +143,31 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
         )
         L, d = Lp[:N, :N], dp[:N]
     else:
-        L, d, ok = ldl_factor(
-            K_fac,
-            signs.astype(factor_dtype),
-            dyn_eps=settings.dynamic_regularization_eps,
-            dyn_delta=settings.dynamic_regularization_delta,
-            dynamic_enable=settings.dynamic_regularization_enable,
-        )
+        import jax as _jax
+
+        if N > 32 and _jax.default_backend() != "cpu":
+            # trace-time-unrolled panels: the fori-loop factor pays ~6 µs
+            # sequencing per trip when nested inside the IPM while_loop
+            # (see linalg.ldl.ldl_factor_unrolled); straight-line code
+            # pipelines.  CPU keeps the loop form (fast there, and the
+            # unrolled trace slows test compiles).
+            from ..linalg.ldl import ldl_factor_unrolled
+
+            L, d, ok = ldl_factor_unrolled(
+                K_fac,
+                signs,
+                dyn_eps=settings.dynamic_regularization_eps,
+                dyn_delta=settings.dynamic_regularization_delta,
+                dynamic_enable=settings.dynamic_regularization_enable,
+            )
+        else:
+            L, d, ok = ldl_factor(
+                K_fac,
+                signs.astype(factor_dtype),
+                dyn_eps=settings.dynamic_regularization_eps,
+                dyn_delta=settings.dynamic_regularization_delta,
+                dynamic_enable=settings.dynamic_regularization_enable,
+            )
     if _use_inverse(settings, N):
         Linv = invert_unit_lower(L)
     else:

@@ -159,3 +159,69 @@ def test_json_roundtrip():
         assert np.linalg.norm(sol1.x - sol2.x) < 1e-10
     finally:
         os.unlink(path)
+
+
+def test_chol_blocked_unrolled():
+    """Trace-time-unrolled blocked Cholesky matches numpy for sizes
+    spanning multiple panels, f32 and f64, and under vmap."""
+    import jax
+    import jax.numpy as jnp
+    from clarabel_tpu.linalg.smallops import chol_blocked_unrolled
+
+    rng = np.random.default_rng(3)
+    for n in (5, 96, 130, 300):
+        F = rng.standard_normal((n, n))
+        S = F @ F.T + n * np.eye(n)
+        L = np.asarray(jax.jit(chol_blocked_unrolled)(jnp.asarray(S)))
+        Lref = np.linalg.cholesky(S)
+        assert np.max(np.abs(L - Lref)) < 1e-9 * n
+
+    # f32
+    n = 70
+    F = rng.standard_normal((n, n)).astype(np.float32)
+    S = F @ F.T + n * np.eye(n, dtype=np.float32)
+    L = np.asarray(chol_blocked_unrolled(jnp.asarray(S)))
+    assert np.max(np.abs(L @ L.T - S)) < 1e-3
+
+    # vmap
+    B, n = 4, 40
+    Fs = rng.standard_normal((B, n, n))
+    Ss = np.einsum("bij,bkj->bik", Fs, Fs) + n * np.eye(n)
+    Ls = np.asarray(jax.vmap(chol_blocked_unrolled)(jnp.asarray(Ss)))
+    for i in range(B):
+        assert np.max(np.abs(Ls[i] - np.linalg.cholesky(Ss[i]))) < 1e-8
+
+    # indefinite input propagates NaN (callers check finiteness)
+    bad = np.eye(8); bad[5, 5] = -1.0
+    Lb = np.asarray(chol_blocked_unrolled(jnp.asarray(bad)))
+    assert not np.all(np.isfinite(Lb))
+
+
+def test_ldl_factor_unrolled_matches_loop():
+    """Unrolled-panel LDL must match the fori-loop factor bit-for-bit in
+    structure: same L, d (incl. dynamic regularization), same ok flag."""
+    import jax
+    import jax.numpy as jnp
+    from clarabel_tpu.linalg.ldl import ldl_factor, ldl_factor_unrolled
+
+    rng = np.random.default_rng(11)
+    for n in (8, 130, 260):
+        nn = n // 2
+        signs = np.concatenate([np.ones(n - nn), -np.ones(nn)])
+        F = rng.standard_normal((n, n))
+        K = F + F.T + np.diag(signs * 2.0 * n)
+        L1, d1, ok1 = ldl_factor(jnp.asarray(K), jnp.asarray(signs))
+        L2, d2, ok2 = ldl_factor_unrolled(jnp.asarray(K), jnp.asarray(signs))
+        assert bool(ok1) and bool(ok2)
+        assert np.max(np.abs(np.asarray(L1) - np.asarray(L2))) < 1e-10
+        assert np.max(np.abs(np.asarray(d1) - np.asarray(d2))) < 1e-9 * n
+
+    # dynamic regularization clamps a wrong-sign pivot identically
+    n = 12
+    signs = np.ones(n)
+    K = np.eye(n)
+    K[5, 5] = -1e-20
+    _, d1, _ = ldl_factor(jnp.asarray(K), jnp.asarray(signs))
+    _, d2, _ = ldl_factor_unrolled(jnp.asarray(K), jnp.asarray(signs))
+    assert np.allclose(np.asarray(d1), np.asarray(d2))
+    assert np.asarray(d2)[5] == 2e-7
