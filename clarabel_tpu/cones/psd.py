@@ -106,9 +106,59 @@ def unit_initialization(g: ConeGroup, z, s):
     return z, s
 
 
+def _eigvalsh_sym(Z):
+    """Batched symmetric eigenvalues with closed forms for n ≤ 3.
+
+    TPU's batched f64 eigvalsh emulation returns NaN for benign
+    zero-diagonal tridiagonal blocks (observed on v5e with the 3×3
+    cliques of a chordal-decomposed max-cut SDP; fine on CPU and in
+    numpy).  Chordal decomposition produces *many* tiny cliques, so the
+    n ≤ 3 cases get exact closed forms — branch-free elementwise ops
+    that are also much faster than the iterative lowering inside the
+    IPM while_loop.  Larger blocks keep `jnp.linalg.eigvalsh`; callers
+    that only need margins stay NaN-safe via shift_to_cone_interior.
+    Returns eigenvalues in ascending order (matching eigvalsh).
+    """
+    n = Z.shape[-1]
+    if n == 1:
+        return Z[..., 0, :]
+    if n == 2:
+        a, b, d = Z[..., 0, 0], Z[..., 0, 1], Z[..., 1, 1]
+        mid = 0.5 * (a + d)
+        rad = jnp.sqrt(jnp.square(0.5 * (a - d)) + jnp.square(b))
+        return jnp.stack([mid - rad, mid + rad], axis=-1)
+    if n == 3:
+        # trigonometric closed form (Smith 1961), ascending order
+        a, b, c = Z[..., 0, 0], Z[..., 1, 1], Z[..., 2, 2]
+        d, e, f = Z[..., 0, 1], Z[..., 1, 2], Z[..., 0, 2]
+        q = (a + b + c) / 3.0
+        p1 = jnp.square(d) + jnp.square(e) + jnp.square(f)
+        p2 = (jnp.square(a - q) + jnp.square(b - q) + jnp.square(c - q)
+              + 2.0 * p1)
+        p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+        tiny = jnp.finfo(Z.dtype).tiny
+        pin = jnp.where(p > 0, p, 1.0)
+        A_, B_, C_ = (a - q) / pin, (b - q) / pin, (c - q) / pin
+        D_, E_, F_ = d / pin, e / pin, f / pin
+        detB = (A_ * (B_ * C_ - E_ * E_)
+                - D_ * (D_ * C_ - E_ * F_)
+                + F_ * (D_ * E_ - B_ * F_))
+        r = jnp.clip(0.5 * detB, -1.0, 1.0)
+        phi = jnp.arccos(r) / 3.0
+        e1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+        e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+        e2 = 3.0 * q - e1 - e3
+        iso = p2 <= tiny  # (near-)isotropic: all eigenvalues equal q
+        e1 = jnp.where(iso, q, e1)
+        e2 = jnp.where(iso, q, e2)
+        e3 = jnp.where(iso, q, e3)
+        return jnp.stack([e3, e2, e1], axis=-1)
+    return jnp.linalg.eigvalsh(Z)
+
+
 def margins(g: ConeGroup, zvec):
     Z = svec_to_mat(_gather(zvec, g), g.psd_n)
-    e = jnp.linalg.eigvalsh(Z)
+    e = _eigvalsh_sym(Z)
     return jnp.min(e), jnp.sum(jnp.maximum(e, 0.0))
 
 
@@ -229,7 +279,9 @@ def step_length(g: ConeGroup, state, dz, ds, z, s):
         D = svec_to_mat(_gather(d_vec, g), n)
         Dt = _mul_w_mat(Rx, D, transpose=transpose)
         M = lam_isqrt[:, :, None] * Dt * lam_isqrt[:, None, :]
-        gamma = jnp.min(jnp.linalg.eigvalsh(0.5 * (M + jnp.swapaxes(M, -1, -2))), axis=-1)
+        gamma = jnp.min(
+            _eigvalsh_sym(0.5 * (M + jnp.swapaxes(M, -1, -2))), axis=-1
+        )
         per = jnp.where(gamma < 0, 1.0 / jnp.maximum(-gamma, 1e-300), np.inf)
         return jnp.min(per)
 

@@ -250,6 +250,12 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
     def shift_to_cone_interior(vec, pd):
         """reference: src/variables.jl:180-208"""
         mm, pm = cone_ops.margins(layout, vec, pd)
+        # a non-finite margin (e.g. an eig failure) must force a shift,
+        # never silently skip it: `NaN <= 0` is False, and an unshifted
+        # non-interior start makes the zero-residual initial point pass
+        # the convergence check as a fake SOLVED
+        mm = jnp.where(jnp.isfinite(mm), mm, -1.0)
+        pm = jnp.where(jnp.isfinite(pm), pm, 0.0)
         if degree > 0:
             target = jnp.maximum(1.0, 0.1 * pm / degree)
         else:

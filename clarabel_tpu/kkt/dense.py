@@ -195,14 +195,14 @@ def solve_refined(fac: KKTFactor, rhs, settings):
     norme0 = jnp.max(jnp.abs(e0))
     ok0 = jnp.isfinite(norme0)
 
-    def cond(carry):
+    def active(carry):
         i, x, e, norme, done, ok = carry
         return jnp.logical_and(
-            jnp.logical_and(i < max_iter, jnp.logical_not(done)),
+            jnp.logical_not(done),
             jnp.logical_and(ok, norme > abstol + reltol * normb),
         )
 
-    def body(carry):
+    def body(carry, masked: bool):
         i, x, e, norme, done, ok = carry
         dx = _factor_solve(fac, e)
         xnew = x + dx
@@ -212,14 +212,35 @@ def solve_refined(fac: KKTFactor, rhs, settings):
         ratio = norme / jnp.where(nn != 0, nn, jnp.finfo(nn.dtype).tiny)
         stop = ratio < stop_ratio
         accept = jnp.logical_and(okn, jnp.logical_or(~stop, ratio > 1.0))
+        if masked:
+            act = active(carry)
+            accept = jnp.logical_and(accept, act)
+            done = jnp.where(act, jnp.logical_or(stop, ~okn), done)
+            ok = jnp.where(act, jnp.logical_and(ok, okn), ok)
+        else:
+            done = jnp.logical_or(stop, ~okn)
+            ok = jnp.logical_and(ok, okn)
         x = jnp.where(accept, xnew, x)
         e = jnp.where(accept, enew, e)
         norme = jnp.where(accept, nn, norme)
-        return (i + 1, x, e, norme, jnp.logical_or(stop, ~okn), jnp.logical_and(ok, okn))
+        return (i + 1, x, e, norme, done, ok)
 
-    _, x, _, _, _, ok = lax.while_loop(
-        cond, body, (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
-    )
+    carry = (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
+    if rhs.shape[0] <= 4096:
+        # unrolled accept-masked passes: a lax.while_loop boundary forces
+        # carried-buffer copies + sequencing overhead every trip on TPU;
+        # unrolled passes fuse and later passes become no-ops (same
+        # scheme as the condensed backend's refinement)
+        for _ in range(max_iter):
+            carry = body(carry, masked=True)
+        _, x, _, _, _, ok = carry
+    else:
+        def cond(carry):
+            return jnp.logical_and(carry[0] < max_iter, active(carry))
+
+        _, x, _, _, _, ok = lax.while_loop(
+            cond, lambda c: body(c, masked=False), carry
+        )
     return x, ok
 
 

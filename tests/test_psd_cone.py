@@ -149,3 +149,38 @@ def test_sdp_mixed_with_nn():
     sol = Solver(P, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED
     assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
+
+
+def test_eigvalsh_sym_closed_forms():
+    """Closed-form n<=3 symmetric eigenvalues match numpy, including the
+    zero-diagonal tridiagonal blocks that NaN TPU's batched eigvalsh."""
+    import jax.numpy as jnp
+    from clarabel_tpu.cones.psd import _eigvalsh_sym
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3):
+        for _ in range(20):
+            F = rng.standard_normal((4, n, n))
+            Z = 0.5 * (F + np.swapaxes(F, 1, 2))
+            e = np.asarray(_eigvalsh_sym(jnp.asarray(Z)))
+            eref = np.linalg.eigvalsh(Z)
+            assert np.max(np.abs(e - eref)) < 1e-12, (n, e, eref)
+
+    # the pathological case: zero diagonal, tridiagonal
+    Z = np.zeros((1, 3, 3))
+    Z[0, 0, 1] = Z[0, 1, 0] = 0.146
+    Z[0, 1, 2] = Z[0, 2, 1] = 0.167
+    e = np.asarray(_eigvalsh_sym(jnp.asarray(Z)))
+    assert np.all(np.isfinite(e))
+    assert np.max(np.abs(e - np.linalg.eigvalsh(Z))) < 1e-14
+
+    # isotropic (p == 0) branch
+    Z = 3.7 * np.broadcast_to(np.eye(3), (2, 3, 3)).copy()
+    e = np.asarray(_eigvalsh_sym(jnp.asarray(Z)))
+    assert np.allclose(e, 3.7)
+
+    # n >= 4 falls through to jnp.linalg.eigvalsh
+    F = rng.standard_normal((3, 5, 5))
+    Z = 0.5 * (F + np.swapaxes(F, 1, 2))
+    e = np.asarray(_eigvalsh_sym(jnp.asarray(Z)))
+    assert np.max(np.abs(e - np.linalg.eigvalsh(Z))) < 1e-10
