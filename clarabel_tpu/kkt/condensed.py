@@ -173,7 +173,7 @@ def solve_refined_condensed(fac: CondensedFactor, layout, state, kkt_mv,
         return (i + 1, x, e, norme, done, ok)
 
     carry = (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
-    if rhs.shape[0] <= 4096:
+    if rhs.shape[0] <= 256:
         for _ in range(max_iter):
             carry = body(carry, masked=True)
         _, x, _, norme, _, ok = carry

@@ -226,7 +226,7 @@ def solve_refined(fac: KKTFactor, rhs, settings):
         return (i + 1, x, e, norme, done, ok)
 
     carry = (jnp.asarray(0), x, e0, norme0, jnp.asarray(False), ok0)
-    if rhs.shape[0] <= 4096:
+    if rhs.shape[0] <= 256:
         # unrolled accept-masked passes: a lax.while_loop boundary forces
         # carried-buffer copies + sequencing overhead every trip on TPU;
         # unrolled passes fuse and later passes become no-ops (same
