@@ -548,11 +548,19 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                 info.res_dual > carry.prev_res_dual,
                 info.res_primal > carry.prev_res_primal,
             )
-            cond_progress = jnp.logical_and(
-                jnp.logical_and(status == int(SolverStatus.UNSOLVED),
-                                carry.iters > 1),
-                going_backwards,
+            # relaxed variant for the high-tolerance branch: improvement
+            # below (1 - stall_detection_ratio) per iteration counts as
+            # stalled (TPU float-float floor; docs/DEVIATIONS.md #11)
+            stall_ratio = settings.stall_detection_ratio
+            stagnating = jnp.logical_or(
+                info.res_dual > stall_ratio * carry.prev_res_dual,
+                info.res_primal > stall_ratio * carry.prev_res_primal,
             )
+            after_first = jnp.logical_and(
+                status == int(SolverStatus.UNSOLVED), carry.iters > 1
+            )
+            cond_progress = jnp.logical_and(after_first, going_backwards)
+            cond_stall = jnp.logical_and(after_first, stagnating)
             poor_hi = jnp.logical_and(
                 info.ktratio < 100.0 * eps_T,
                 jnp.logical_or(
@@ -573,8 +581,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                     ),
                 ),
             )
-            insuff = jnp.logical_and(cond_progress,
-                                     jnp.logical_or(poor_hi, diverging))
+            insuff = jnp.logical_or(
+                jnp.logical_and(cond_stall, poor_hi),
+                jnp.logical_and(cond_progress, diverging),
+            )
             status = jnp.where(
                 insuff, int(SolverStatus.INSUFFICIENT_PROGRESS), status
             ).astype(jnp.int32)

@@ -118,6 +118,17 @@ class Settings:
     # block-arrow KKT assembly (None = auto: scipy-sparse inputs with
     # n+m > 2000 and a detectable block-arrow structure)
     sparse_data: Optional[bool] = None
+    # stall detection at the accuracy floor.  The reference's
+    # insufficient-progress check (src/info.jl:80-91) requires a strict
+    # residual *increase* while the gap is already below tolerance; on
+    # TPU, f64 is float-float emulation (~2^-49 unit roundoff) and lanes
+    # pinned at that floor wander by fractions of an ulp for ~10 extra
+    # iterations before the first uptick.  A residual improving by less
+    # than (1 - ratio) per iteration is treated as not improving for the
+    # purposes of that check (normal IPM steps contract residuals ~10x,
+    # so this only fires on hopeless tails).  1.0 restores the exact
+    # reference semantics.  See docs/DEVIATIONS.md #11.
+    stall_detection_ratio: float = 0.99
 
     def __post_init__(self):
         # factor_dtype=None stays None: it resolves at build time
