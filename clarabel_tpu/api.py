@@ -92,7 +92,7 @@ class Solver:
 
     def __init__(self, P=None, q=None, A=None, b=None,
                  cones: Optional[Sequence[SupportedCone]] = None,
-                 settings: Optional[Settings] = None, **kwargs):
+                 settings: Optional[Settings] = None, mesh=None, **kwargs):
         self.settings = settings if settings is not None else Settings()
         if kwargs:
             self.settings = dataclasses.replace(self.settings, **kwargs)
@@ -100,6 +100,15 @@ class Solver:
         self.info = DefaultInfo()
         self._setup_done = False
         self._first_solve_time = None
+        # multi-device factorization: a jax.sharding.Mesh with a `tp` axis
+        # shards the block-arrow KKT factorization across devices (the
+        # counterpart of the reference's parallel Pardiso backend,
+        # reference: ext/directldl_pardiso.jl, src/settings.jl:108-110)
+        self.mesh = mesh
+        self._tp_axis = None
+        if mesh is not None:
+            self._tp_axis = ("tp" if "tp" in mesh.axis_names
+                             else mesh.axis_names[0])
         if P is not None:
             self.setup(P, q, A, b, cones)
 
@@ -120,6 +129,12 @@ class Solver:
 
         P = sp.csr_matrix(P).astype(np.float64)
         A = sp.csr_matrix(A).astype(np.float64)
+        if self.settings.input_sparse_dropzeros:
+            # drop stored explicit zeros so they don't enter the KKT
+            # pattern (reference: src/problemdata.jl dropzeros! under
+            # input_sparse_dropzeros; disables data updating)
+            P.eliminate_zeros()
+            A.eliminate_zeros()
         n, m = q.shape[0], b.shape[0]
         if A.shape != (m, n) or P.shape != (n, n):
             raise ValueError("dimension mismatch")
@@ -161,9 +176,22 @@ class Solver:
 
         requested = self.settings.kkt_backend
         ba_plan = nd_plan = None
-        if requested != "multifrontal":
+        if self.mesh is not None:
+            # multi-device: the sharded factorization is block-arrow only
             ba_plan = analyze_block_arrow(P_pat, A_pat, layout)
-        if requested != "blockarrow":
+            if ba_plan is None:
+                raise ValueError(
+                    "multi-device solve (mesh=...) requires block-arrow "
+                    "structure in the KKT pattern; none was found"
+                )
+            from .structure import pad_plan_blocks
+
+            ba_plan = pad_plan_blocks(
+                ba_plan, self.mesh.shape[self._tp_axis]
+            )
+        elif requested != "multifrontal":
+            ba_plan = analyze_block_arrow(P_pat, A_pat, layout)
+        if requested != "blockarrow" and self.mesh is None:
             nd_plan = analyze_nested_dissection(P_pat, A_pat, layout)
         # pick the structurally cheaper factorization (grids/meshes have
         # large single-level separators: multilevel wins there)
@@ -172,7 +200,7 @@ class Solver:
                 ba_plan = None
             else:
                 nd_plan = None
-        if ba_plan is not None and n + m <= 4096 and (
+        if self.mesh is None and ba_plan is not None and n + m <= 4096 and (
             ba_plan.flop_estimate() > 0.5 * (n + m) ** 3 / 3.0
         ):
             # the "structure" doesn't beat a dense factorization by a
@@ -217,12 +245,15 @@ class Solver:
         self._sparse_maps = SparseUpdateMaps.build(P_sym, A_coo, n)
 
         cache_key = (layout.key, n, self._p_nonzero, "sparse",
-                     dataclasses.astuple(self.settings), maps.key)
+                     dataclasses.astuple(self.settings), maps.key,
+                     self.mesh, self._tp_axis)
         if cache_key not in _SOLVE_CACHE:
             import jax
 
             base = build_solve(layout, self.settings, n, self._p_nonzero,
-                               structure=plan, assembly=maps)
+                               structure=plan, assembly=maps,
+                               mesh=self.mesh,
+                               tp_axis=self._tp_axis or "tp")
             _SOLVE_CACHE[cache_key] = (
                 jax.jit(base), jax.jit(base.prepare),
                 jax.jit(base.run_phases), jax.jit(base.finalize),
@@ -333,7 +364,22 @@ class Solver:
         # larger problems and uses it when a good separator exists
         self._structure = None
         backend = self.settings.kkt_backend
-        if backend == "blockarrow" or (
+        if self.mesh is not None:
+            from .structure import analyze_block_arrow, pad_plan_blocks
+
+            plan = analyze_block_arrow(
+                self._P_full != 0, self._A != 0, self.layout
+            )
+            if plan is None:
+                raise ValueError(
+                    "multi-device solve (mesh=...) requires block-arrow "
+                    "structure in the KKT pattern; none was found"
+                )
+            self._structure = pad_plan_blocks(
+                plan, self.mesh.shape[self._tp_axis]
+            )
+            backend = "blockarrow"
+        elif backend == "blockarrow" or (
             backend == "auto" and n + m > 1024
         ):
             from .structure import analyze_block_arrow
@@ -388,13 +434,16 @@ class Solver:
 
         cache_key = (self.layout.key, n, p_nonzero, backend,
                      dataclasses.astuple(self.settings),
-                     None if self._structure is None else self._structure.key)
+                     None if self._structure is None else self._structure.key,
+                     self.mesh, self._tp_axis)
         if cache_key not in _SOLVE_CACHE:
             import jax
 
             base = build_solve(self.layout, self.settings, n, p_nonzero,
                                structure=self._structure,
-                               kkt_backend=backend)
+                               kkt_backend=backend,
+                               mesh=self.mesh,
+                               tp_axis=self._tp_axis or "tp")
             _SOLVE_CACHE[cache_key] = (
                 jax.jit(base),
                 jax.jit(base.prepare),

@@ -146,6 +146,10 @@ def _check_update_allowed(solver):
         raise ValueError(
             "Data updates not allowed if chordal decomposition is active."
         )
+    if solver.settings.input_sparse_dropzeros:
+        raise ValueError(
+            "Data updates not allowed if input_sparse_dropzeros is enabled."
+        )
 
 
 def _refresh_sparse_args(solver):

@@ -191,14 +191,19 @@ def check_convergence(info: Info, res: Residuals, tols) -> jnp.ndarray:
 
 
 def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
-                structure=None, assembly=None, kkt_backend=None):
+                structure=None, assembly=None, kkt_backend=None,
+                mesh=None, tp_axis="tp"):
     """Build the end-to-end jitted solve function for a fixed problem
     structure (cone layout + dimensions).
 
     Returns solve(P, q, A, b) -> solution dict.  P must be the FULL
     symmetric cost matrix (the reference consumes triu-only;
     see src/solver.jl docstring).  `structure` is a BlockArrowPlan for
-    the "blockarrow" KKT backend.
+    the "blockarrow" KKT backend.  `mesh` (with a `tp_axis` axis) shards
+    the block-arrow factorization across devices — the multi-device
+    counterpart of the reference's parallel Pardiso factorization
+    (reference: ext/directldl_pardiso.jl); the plan's block count must be
+    padded to a multiple of the axis size (structure.pad_plan_blocks).
     """
     m = layout.m
     dtype = np.dtype(settings.dtype)
@@ -305,17 +310,20 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             from ..kkt import assembly_maps as kkt_am
 
             fac = kkt_am.factor_from_maps(
-                assembly, P.vals, A.vals, hs_vals, settings, factor_dtype
+                assembly, P.vals, A.vals, hs_vals, settings, factor_dtype,
+                mesh=mesh, tp_axis=tp_axis,
             )
 
             def solve_xz(bx, bz):
                 return kkt_ba.kkt_solve_xz_blockarrow(
-                    fac, plan, kkt_mv, bx, bz, settings
+                    fac, plan, kkt_mv, bx, bz, settings,
+                    mesh=mesh, tp_axis=tp_axis,
                 )
 
             def solve_xz2(bx1, bz1, bx2, bz2):
                 return kkt_ba.kkt_solve_xz2_blockarrow(
-                    fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings
+                    fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings,
+                    mesh=mesh, tp_axis=tp_axis,
                 )
 
             return fac.ok, solve_xz, solve_xz2
@@ -349,18 +357,21 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             from ..kkt import blockarrow as kkt_ba
 
             fac = kkt_ba.assemble_and_factor_blockarrow(
-                P, A, Hs, structure, signs, settings, factor_dtype
+                P, A, Hs, structure, signs, settings, factor_dtype,
+                mesh=mesh, tp_axis=tp_axis,
             )
             kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
 
             def solve_xz(bx, bz):
                 return kkt_ba.kkt_solve_xz_blockarrow(
-                    fac, structure, kkt_mv, bx, bz, settings
+                    fac, structure, kkt_mv, bx, bz, settings,
+                    mesh=mesh, tp_axis=tp_axis,
                 )
 
             def solve_xz2(bx1, bz1, bx2, bz2):
                 return kkt_ba.kkt_solve_xz2_blockarrow(
-                    fac, structure, kkt_mv, bx1, bz1, bx2, bz2, settings
+                    fac, structure, kkt_mv, bx1, bz1, bx2, bz2, settings,
+                    mesh=mesh, tp_axis=tp_axis,
                 )
 
             return fac.ok, solve_xz, solve_xz2

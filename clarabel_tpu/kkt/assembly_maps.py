@@ -180,11 +180,13 @@ def assemble_blocks(maps: AssemblyMaps, P_vals, A_vals, hs_vals, settings,
 
 
 def factor_from_maps(maps: AssemblyMaps, P_vals, A_vals, hs_vals, settings,
-                     factor_dtype):
+                     factor_dtype, mesh=None, tp_axis="tp"):
     """Assemble + block-arrow factor (shares the factor math with
-    kkt.blockarrow)."""
-    from ..linalg.ldl import ldl_factor, ldl_factor_blocked, ldl_solve
-    from .blockarrow import BlockArrowFactorS
+    kkt.blockarrow; with a mesh the block axis shards over `tp_axis`).
+    All-sentinel padded blocks come out of the scatter-add as exact
+    identities (pad_diag_dest sets their unit pivots; every other entry
+    drops), so no pad fix-up is needed here."""
+    from .blockarrow import factor_blocks
 
     plan = maps.plan
     D, Bc, C = assemble_blocks(
@@ -192,18 +194,5 @@ def factor_from_maps(maps: AssemblyMaps, P_vals, A_vals, hs_vals, settings,
     )
     bsigns = jnp.asarray(plan.block_signs, D.dtype)
     tsigns = jnp.asarray(plan.tail_signs, D.dtype)
-    dyn = dict(
-        dyn_eps=settings.dynamic_regularization_eps,
-        dyn_delta=settings.dynamic_regularization_delta,
-        dynamic_enable=settings.dynamic_regularization_enable,
-    )
-    if plan.nb >= 192 and plan.nb % 128 == 0:
-        factor_one = lambda Kb, sb: ldl_factor_blocked(Kb, sb, **dyn)
-    else:
-        factor_one = lambda Kb, sb: ldl_factor(Kb, sb, **dyn)
-    Lb, db, okb = jax.vmap(factor_one)(D, bsigns)
-    DinvB = jax.vmap(ldl_solve)(Lb, db, Bc)
-    S = C - jnp.einsum("pij,pik->jk", Bc, DinvB)
-    Ls, ds, oks = ldl_factor(S, tsigns, **dyn)
-    ok = jnp.logical_and(jnp.all(okb), oks)
-    return BlockArrowFactorS(Lb, db, DinvB, Bc, Ls, ds, ok)
+    return factor_blocks(D, Bc, C, bsigns, tsigns, settings,
+                         mesh=mesh, axis=tp_axis)

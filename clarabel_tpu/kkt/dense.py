@@ -41,7 +41,7 @@ class KKTFactor(NamedTuple):
 
 
 def _use_inverse(settings, N: int) -> bool:
-    flag = getattr(settings, "dense_solve_via_inverse", None)
+    flag = settings.dense_solve_via_inverse
     if flag is None:
         # latency-bound regime: explicit inverse wins for small/medium KKT
         return N <= 512

@@ -107,6 +107,10 @@ class Settings:
     # Pallas kernels for the batched factorization hot path
     # (None = auto: on for f32 factors on TPU backends)
     use_pallas: Optional[bool] = None
+    # dense LDL applies via an explicit log-depth L⁻¹ (triangular solves
+    # become matvecs; accuracy restored by refinement).  None = auto:
+    # on for KKT dim <= 512 (the latency-bound regime)
+    dense_solve_via_inverse: Optional[bool] = None
     # KKT backend: "ldl" (augmented quasidefinite LDL), "condensed"
     # (normal equations + Cholesky, few large batched ops — fastest for
     # vmapped small instances), "blockarrow" (single-level structured

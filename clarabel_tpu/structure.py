@@ -75,6 +75,29 @@ class BlockArrowPlan:
         return (self.p, self.nb, self.nt, self.n, self.m, h.hexdigest())
 
 
+def pad_plan_blocks(plan: BlockArrowPlan, multiple: int) -> BlockArrowPlan:
+    """Pad the block count up to a multiple of `multiple` with all-sentinel
+    (identity) blocks so the block axis shards evenly over a mesh axis.
+    Sentinel rows (index ≥ N) gather zeros / drop on scatter; the dense
+    and map-based assembly paths both materialize exact identity blocks
+    for all-sentinel rows, so padded blocks contribute nothing."""
+    p = plan.p
+    pp = -(-p // multiple) * multiple
+    if pp == p:
+        return plan
+    N = plan.n + plan.m
+    pad = pp - p
+    block_idx = np.concatenate(
+        [plan.block_idx, np.full((pad, plan.nb), N, dtype=plan.block_idx.dtype)]
+    )
+    block_signs = np.concatenate(
+        [plan.block_signs, np.ones((pad, plan.nb), dtype=plan.block_signs.dtype)]
+    )
+    return dataclasses.replace(
+        plan, block_idx=block_idx, block_signs=block_signs
+    )
+
+
 def _as_pattern(M_or_pattern):
     """Accept a dense mask array or a ((rows, cols), shape) tuple."""
     if isinstance(M_or_pattern, tuple):

@@ -119,3 +119,33 @@ def test_batch_exponential_cones():
     out = bs_solver.solve(np.stack(Ps), np.stack(qs), np.stack(As), np.stack(bs))
     assert out.all_solved
     assert np.allclose(out.x[:, 1], np.log(cs), atol=1e-6)
+
+
+def test_batch_rescue_pass():
+    """Two-phase batch: lanes that fail the fast pass are re-solved with
+    the accurate configuration (VERDICT r1 #3 — all lanes must reach
+    SOLVED at full 1e-8 tolerances)."""
+    rng = np.random.default_rng(11)
+    B, n = 8, 6
+    cones = [NonnegativeConeT(n), SecondOrderConeT(n + 1)]
+    probs = [make_random_socp(rng, n) for _ in range(B)]
+    P = np.stack([p[0] for p in probs])
+    q = np.stack([p[1] for p in probs])
+    A = np.stack([p[2] for p in probs])
+    b = np.stack([p[3] for p in probs])
+
+    # cripple the fast pass so some lanes end MAX_ITERATIONS/ALMOST, then
+    # let the rescue pass (full settings) pick them up
+    bs = BatchSolver(cones, n, Settings(max_iter=2), rescue="cpu",
+                     rescue_settings=Settings())
+    out = bs.solve(P, q, A, b)
+    assert out.all_solved
+    assert np.all(out.r_prim < 1e-8) and np.all(out.r_dual < 1e-8)
+    # rescued lanes agree with the single-instance solver
+    sol0 = Solver(*probs[0], cones).solve()
+    assert np.linalg.norm(out.x[0] - sol0.x) < 1e-6
+
+    # rescue with nothing to do is a no-op
+    bs2 = BatchSolver(cones, n, rescue="cpu")
+    out2 = bs2.solve(P, q, A, b)
+    assert out2.all_solved
