@@ -3,12 +3,19 @@
 Solves a batch of independent small SOCPs with the vmapped IPM to the full
 1e-8 tolerances and reports solves/second.
 
-`vs_baseline` compares against single-core Clarabel.jl throughput on the
-same instances.  The reference publishes no numbers (BASELINE.md), and no
-Julia runtime is present in this image, so the baseline constant below is a
-conservative stand-in: 2000 solves/s single-core for ~12-variable SOCPs
-(~0.5 ms per solve, consistent with Clarabel-class solvers on trivial
-SOCPs).  Replace with the driver's measured Clarabel number when available.
+`vs_baseline` compares against single-core CPU throughput on the SAME
+instances.  The reference publishes no numbers (BASELINE.md) and no Julia
+runtime / installable Clarabel wheel exists in this image, so the
+denominator is the CONSERVATIVE (larger) of:
+  (a) a MEASURED single-core run of the identical algorithm at identical
+      1e-8 tolerances: XLA-compiled for CPU, strictly sequential lax.map,
+      single thread (benchmarks/baseline_cpu.py; cached in
+      .baseline_cpu.json) — 254.8 solves/s on this image's CPU; and
+  (b) 2000 solves/s, a deliberately generous estimate of what a tuned
+      native CPU solver (Clarabel.jl/rs class) achieves on ~12-variable
+      SOCPs (~0.5 ms per setup+solve).
+Using max(a, b) means `vs_baseline` UNDER-states rather than overstates
+the TPU advantage.  Both numbers are reported in the JSON line.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -27,9 +34,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 
-BASELINE_SINGLE_CORE_SOLVES_PER_SEC = 2000.0
+BASELINE_ESTIMATE_SOLVES_PER_SEC = 2000.0  # generous native-CPU estimate
 BATCH = 4096
 N = 6  # variables per instance
+
+
+def measured_cpu_baseline():
+    """Load (or measure) the single-core same-algorithm CPU throughput.
+    Returns None if the measurement is unavailable and cannot be run."""
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.baseline_cpu import measure_or_load
+
+        return measure_or_load(BATCH, N, seed=0)
+    except Exception as exc:  # pragma: no cover - best-effort
+        print(f"# cpu baseline unavailable: {exc}", flush=True)
+        return None
 
 
 def make_batch(B, n, seed=0):
@@ -67,11 +89,17 @@ def main():
     }[mode]
 
     cones = [NonnegativeConeT(N), SecondOrderConeT(N + 1)]
-    bs = BatchSolver(cones, N, settings)
+    # two-phase batch: lanes the fast on-chip pass leaves below SOLVED are
+    # re-solved on native-f64 CPU (TPU f64 is ~2^-49 float-float; marginal
+    # instances cannot reach the last half-digit on-chip) — BASELINE.md
+    # acceptance requires ALL instances at the full 1e-8 tolerances
+    bs = BatchSolver(cones, N, settings, rescue="cpu")
     data = make_batch(BATCH, N)
 
-    # warm-up (compile)
-    bs.solve(*(x[:BATCH] for x in data))
+    # warm-up (compile): full batch AND a representative rescue shape so
+    # the timed run pays no compile
+    warm = bs.solve(*data)
+    n_warm_rescued = int(np.sum(warm.status == int(SolverStatus.SOLVED)))
 
     t0 = time.perf_counter()
     out = bs.solve(*data)
@@ -80,11 +108,25 @@ def main():
     n_solved = int(np.sum(out.status == int(SolverStatus.SOLVED)))
     solves_per_sec = n_solved / dt
 
+    baseline = measured_cpu_baseline()
+    base_rate = BASELINE_ESTIMATE_SOLVES_PER_SEC
+    if baseline is not None:
+        base_rate = max(base_rate, baseline["solves_per_sec"])
+
     print(json.dumps({
         "metric": f"batched_socp_throughput_B{BATCH}_n{N}",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s (1e-8 tol)",
-        "vs_baseline": round(solves_per_sec / BASELINE_SINGLE_CORE_SOLVES_PER_SEC, 2),
+        "vs_baseline": round(solves_per_sec / base_rate, 2),
+        "baseline_solves_per_sec": base_rate,
+        "baseline_measured_cpu_1core": (
+            None if baseline is None
+            else round(baseline["solves_per_sec"], 1)
+        ),
+        "baseline_method": (
+            "max(measured same-algorithm XLA-CPU 1-thread sequential, "
+            "2000/s native-solver estimate)"
+        ),
         "batch": BATCH,
         "solved": n_solved,
         "wall_s": round(dt, 3),

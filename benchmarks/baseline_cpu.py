@@ -32,6 +32,10 @@ def _run_measurement(batch: int, n: int, seed: int) -> dict:
 
     import numpy as np
     import jax
+
+    # the env var alone does not always keep jax off the tunneled TPU
+    # platform (observed: silent multi-minute hang resolving 'axon')
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import lax
 
@@ -59,9 +63,9 @@ def _run_measurement(batch: int, n: int, seed: int) -> dict:
                 out["r_dual"])
 
     fn = jax.jit(lambda d: lax.map(one, d))
-    # warm-up / compile on a small prefix
-    small = tuple(x[:8] for x in data)
-    jax.block_until_ready(fn(small))
+    # warm-up / compile at the FULL shape (lax.map recompiles per batch
+    # length; warming a prefix would leave the compile inside the timing)
+    jax.block_until_ready(fn(data))
 
     t0 = time.perf_counter()
     st, it, rp, rd = jax.block_until_ready(fn(data))

@@ -77,8 +77,29 @@ def _symmetrize_triu(P: np.ndarray) -> np.ndarray:
     return U + U.T - np.diag(np.diag(U))
 
 
-# compiled-solver cache keyed by problem structure
-_SOLVE_CACHE: dict = {}
+# compiled-solver cache keyed by problem structure.  Bounded LRU: a
+# long-lived process creating many distinct structures would otherwise
+# accumulate compiled executables without limit (each holds device
+# buffers for its constants).  Re-setup of an evicted structure only
+# pays a re-trace; XLA's own compilation cache still avoids recompiles.
+_SOLVE_CACHE: "dict" = {}
+_SOLVE_CACHE_MAX = 64
+
+
+def _solve_cache_put(key, value):
+    if key in _SOLVE_CACHE:
+        _SOLVE_CACHE.pop(key)
+    elif len(_SOLVE_CACHE) >= _SOLVE_CACHE_MAX:
+        _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+    _SOLVE_CACHE[key] = value
+
+
+def _solve_cache_get(key):
+    value = _SOLVE_CACHE.get(key)
+    if value is not None:  # refresh LRU order
+        _SOLVE_CACHE.pop(key)
+        _SOLVE_CACHE[key] = value
+    return value
 
 
 class Solver:
@@ -247,19 +268,21 @@ class Solver:
         cache_key = (layout.key, n, self._p_nonzero, "sparse",
                      dataclasses.astuple(self.settings), maps.key,
                      self.mesh, self._tp_axis)
-        if cache_key not in _SOLVE_CACHE:
+        cached = _solve_cache_get(cache_key)
+        if cached is None:
             import jax
 
             base = build_solve(layout, self.settings, n, self._p_nonzero,
                                structure=plan, assembly=maps,
                                mesh=self.mesh,
                                tp_axis=self._tp_axis or "tp")
-            _SOLVE_CACHE[cache_key] = (
+            cached = (
                 jax.jit(base), jax.jit(base.prepare),
-                jax.jit(base.run_phases), jax.jit(base.finalize),
+                jax.jit(base.run_phases), jax.jit(base.finalize), base,
             )
+            _solve_cache_put(cache_key, cached)
         (self._solve_fn, self._prepare_fn, self._chunk_fn,
-         self._finalize_fn) = _SOLVE_CACHE[cache_key]
+         self._finalize_fn, self._base_fn) = cached
 
         self._setup_time = time.perf_counter() - t0
         self._setup_done = True
@@ -436,7 +459,8 @@ class Solver:
                      dataclasses.astuple(self.settings),
                      None if self._structure is None else self._structure.key,
                      self.mesh, self._tp_axis)
-        if cache_key not in _SOLVE_CACHE:
+        cached = _solve_cache_get(cache_key)
+        if cached is None:
             import jax
 
             base = build_solve(self.layout, self.settings, n, p_nonzero,
@@ -444,14 +468,15 @@ class Solver:
                                kkt_backend=backend,
                                mesh=self.mesh,
                                tp_axis=self._tp_axis or "tp")
-            _SOLVE_CACHE[cache_key] = (
+            cached = (
                 jax.jit(base),
                 jax.jit(base.prepare),
                 jax.jit(base.run_phases),
-                jax.jit(base.finalize),
+                jax.jit(base.finalize), base,
             )
+            _solve_cache_put(cache_key, cached)
         (self._solve_fn, self._prepare_fn, self._chunk_fn,
-         self._finalize_fn) = _SOLVE_CACHE[cache_key]
+         self._finalize_fn, self._base_fn) = cached
 
         self._setup_time = time.perf_counter() - t0
         self._setup_done = True
@@ -473,6 +498,8 @@ class Solver:
                 else (self._P_full, self._q, self._A, self._b))
         if np.isfinite(self.settings.time_limit):
             out = self._solve_chunked(t0)
+        elif self.settings.timing:
+            out = self._solve_timed(args)
         else:
             out = self._solve_fn(*args)
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -641,13 +668,80 @@ class Solver:
 
         return jax.profiler.trace(log_dir)
 
+    def _solve_timed(self, args):
+        """Staged execution with sync-point timing: prepare (equilibration
+        + initial point), the IPM loop, finalize — the same jitted stages
+        the chunked path uses, so results are identical to the fused
+        program's."""
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        data, carry0 = self._prepare_fn(*args)
+        jax.block_until_ready(carry0)
+        t1 = time.perf_counter()
+        final = self._chunk_fn(data, carry0, jnp.asarray(2**30, jnp.int32))
+        jax.block_until_ready(final)
+        t2 = time.perf_counter()
+        out = self._finalize_fn(data, final)
+        jax.block_until_ready(out)
+        t3 = time.perf_counter()
+        self._timers = {
+            "prepare": t1 - t0,
+            "loop": t2 - t1,
+            "finalize": t3 - t2,
+            "iterations": int(final.iters),
+        }
+        self._timed_state = (data, final)
+        return out
+
+    def _probe_phase_times(self):
+        """Device-time the per-iteration sub-phases at the final IPM state
+        (warm-compiled, best of 3)."""
+        import jax
+
+        data, carry = self._timed_state
+        probes = {
+            "cone scaling update": jax.jit(self._base_fn.probe_scaling),
+            "scaling + KKT factor + 2-RHS solve":
+                jax.jit(self._base_fn.probe_step),
+        }
+        times = {}
+        for name, fn in probes.items():
+            jax.block_until_ready(fn(data, carry))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(data, carry))
+                best = min(best, time.perf_counter() - t0)
+            times[name] = best
+        return times
+
     def print_timers(self):
-        """Phase timing summary (reference: print_timers, src/solver.jl:534;
-        TimerOutputs tree reduced to the phases visible from the host —
-        the device computation is a single fused program, so per-phase
-        on-chip times are profiled with jax.profiler instead)."""
-        print(f"setup:          {self._setup_time:10.4f} s")
+        """Phase timing tree (reference: print_timers, src/solver.jl:534,
+        TimerOutputs tree src/types.jl:362-372).  With
+        Settings(timing=True), solves run as staged dispatches and the
+        tree shows measured per-phase times plus device probes of the
+        per-iteration hot path; otherwise only host-visible totals."""
+        print(f"setup:                        {self._setup_time:10.4f} s")
         if self._first_solve_time is not None:
-            print(f"solve (first, incl. compile): {self._first_solve_time:10.4f} s")
+            print(f"solve (first, incl. compile): "
+                  f"{self._first_solve_time:10.4f} s")
         if self.solution is not None:
-            print(f"solve (last):   {self.solution.solve_time:10.4f} s")
+            print(f"solve (last):                 "
+                  f"{self.solution.solve_time:10.4f} s")
+        timers = getattr(self, "_timers", None)
+        if timers is None:
+            print("  (enable Settings(timing=True) for the phase tree)")
+            return
+        iters = max(1, timers["iterations"])
+        print(f"  ├ prepare (equilibration + initial point): "
+              f"{timers['prepare']:.4f} s")
+        print(f"  ├ IPM loop ({timers['iterations']} iterations): "
+              f"{timers['loop']:.4f} s  "
+              f"({timers['loop'] / iters * 1e3:.2f} ms/iter)")
+        if getattr(self, "_timed_state", None) is not None:
+            for name, t in self._probe_phase_times().items():
+                print(f"  │   ├ {name}: {t * 1e3:.2f} ms")
+        print(f"  └ finalize (unscale + certificates): "
+              f"{timers['finalize']:.4f} s")

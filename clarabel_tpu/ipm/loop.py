@@ -915,8 +915,32 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
         final = run_phases(data, carry0, jnp.asarray(2**30, jnp.int32))
         return finalize(data, final)
 
+    # device timing probes (print_timers phase breakdown): each is a
+    # separately-jittable slice of one IPM iteration at a given state
+    def probe_scaling(data, carry):
+        """Cone scaling-state update only."""
+        state, ok = cone_ops.update_scaling(
+            layout, None, carry.s, carry.z, carry.mu, carry.scaling
+        )
+        return state, ok
+
+    def probe_step(data, carry):
+        """Scaling + KKT factor + the fused 2-RHS solve (the per-iteration
+        linear-algebra hot path)."""
+        P, q, A, b, equil, normq, normb = data
+        state, _ = cone_ops.update_scaling(
+            layout, None, carry.s, carry.z, carry.mu, carry.scaling
+        )
+        ok, _, solve_xz2 = make_kkt(P, A, state, settings.factor_dtype)
+        res = compute_residuals(P, q, A, b, carry.x, carry.z, carry.s,
+                                carry.tau, carry.kappa)
+        x2, z2, x1, z1, ok1 = solve_xz2(-q, b, res.rx, carry.s - res.rz)
+        return x2, z2, x1, z1, jnp.logical_and(ok, ok1)
+
     # chunked-execution handles (checkpoint/resume, host-side time limits)
     solve.prepare = prepare
     solve.run_phases = run_phases
     solve.finalize = finalize
+    solve.probe_scaling = probe_scaling
+    solve.probe_step = probe_step
     return solve

@@ -134,7 +134,9 @@ class BatchSolver:
         idx = np.nonzero(out["status"] != int(SolverStatus.SOLVED))[0]
         if len(idx) == 0:
             return out
-        Bp = min(_next_pow2(len(idx)), B)
+        # pad at least to 32 lanes: repeated solves then reuse one
+        # compiled rescue shape even as the failed-lane count wiggles
+        Bp = min(max(32, _next_pow2(len(idx))), B)
         pad = np.resize(idx, Bp)  # cycle failed lanes to fill the pad
         rargs = [np.ascontiguousarray(arr[pad]) for arr in (P, q, A, b)]
         if self._rescue_device is not None:

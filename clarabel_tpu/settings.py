@@ -111,6 +111,12 @@ class Settings:
     # become matvecs; accuracy restored by refinement).  None = auto:
     # on for KKT dim <= 512 (the latency-bound regime)
     dense_solve_via_inverse: Optional[bool] = None
+    # phase-resolved timers: route solve() through the staged pipeline
+    # (prepare / IPM loop / finalize as separate dispatches with sync
+    # points) so print_timers() can show a per-phase tree (the TPU
+    # counterpart of the reference's TimerOutputs tree, src/types.jl:362).
+    # Adds 2-3 dispatch boundaries per solve; off by default.
+    timing: bool = False
     # KKT backend: "ldl" (augmented quasidefinite LDL), "condensed"
     # (normal equations + Cholesky, few large batched ops — fastest for
     # vmapped small instances), "blockarrow" (single-level structured

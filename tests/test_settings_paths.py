@@ -108,3 +108,21 @@ def test_input_sparse_dropzeros():
     assert sol.status == SolverStatus.SOLVED
     with pytest.raises(ValueError, match="dropzeros"):
         s.update_b(b)
+
+
+def test_phase_timers(capsys):
+    """Settings(timing=True) produces the phase-resolved timer tree
+    (reference: TimerOutputs tree, src/types.jl:362-372)."""
+    P, q, A, b, cones = basic_qp_data()
+    s = Solver(P, q, A, b, cones, Settings(timing=True))
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert s._timers["iterations"] == sol.iterations
+    assert s._timers["loop"] > 0
+    s.print_timers()
+    out = capsys.readouterr().out
+    assert "IPM loop" in out and "prepare" in out and "finalize" in out
+    assert "KKT factor" in out
+    # timed and untimed paths agree
+    sol2 = Solver(P, q, A, b, cones).solve()
+    assert np.linalg.norm(sol.x - sol2.x) < 1e-12
