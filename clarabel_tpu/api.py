@@ -195,11 +195,23 @@ class Solver:
         from .structure_nd import analyze_nested_dissection
         from .kkt.assembly_maps_nd import build_nested_assembly_maps
 
+        # large SOCs use the rank-2 Hs representation (diag-only assembly
+        # + SMW correction, kkt/socrank.py) so sparse mode never
+        # materializes O(d²) Hs entries per cone; their rows also stay
+        # singletons in the structure graph instead of one huge supernode
+        from .cones.ops import SOC_RANK2_MIN_DIM
+
+        srk = SOC_RANK2_MIN_DIM if any(
+            g.kind == "soc" and g.width >= SOC_RANK2_MIN_DIM
+            for g in layout.groups.values()
+        ) else None
+
         requested = self.settings.kkt_backend
         ba_plan = nd_plan = None
         if self.mesh is not None:
             # multi-device: the sharded factorization is block-arrow only
-            ba_plan = analyze_block_arrow(P_pat, A_pat, layout)
+            ba_plan = analyze_block_arrow(P_pat, A_pat, layout,
+                                          soc_rank2_min_dim=srk)
             if ba_plan is None:
                 raise ValueError(
                     "multi-device solve (mesh=...) requires block-arrow "
@@ -211,8 +223,11 @@ class Solver:
                 ba_plan, self.mesh.shape[self._tp_axis]
             )
         elif requested != "multifrontal":
-            ba_plan = analyze_block_arrow(P_pat, A_pat, layout)
-        if requested != "blockarrow" and self.mesh is None:
+            ba_plan = analyze_block_arrow(P_pat, A_pat, layout,
+                                          soc_rank2_min_dim=srk)
+        if requested != "blockarrow" and self.mesh is None and srk is None:
+            # the SMW rank-2 path is implemented on the block-arrow
+            # backend; skip nested dissection when large SOCs are present
             nd_plan = analyze_nested_dissection(P_pat, A_pat, layout)
         # pick the structurally cheaper factorization (grids/meshes have
         # large single-level separators: multilevel wins there)
@@ -232,7 +247,7 @@ class Solver:
             plan = ba_plan
             maps = build_assembly_maps(
                 (P_sym.row, P_sym.col), (A_coo.row, A_coo.col), layout,
-                plan,
+                plan, soc_rank2_min_dim=srk,
             )
         elif nd_plan is not None:
             plan = nd_plan
@@ -438,7 +453,18 @@ class Solver:
             dense_flops = N ** 3 / 3.0
             st_flops = (self._structure.flop_estimate()
                         if self._structure is not None else float("inf"))
-            tall = (m >= 3 * n and m >= 500 and not any(
+            # condensed also when a big SOC is present: its dense Hs
+            # block breaks the unpermuted dense LDL's pivot growth when
+            # P contributes no diagonal (measured: NUMERICAL_ERROR at
+            # iteration 1 on a dim-241-SOC robust-LS; condensed's
+            # closed-form Hs⁻¹ + refinement solves it to 1e-8)
+            from .cones.ops import SOC_RANK2_MIN_DIM
+
+            big_soc = any(
+                g.kind == "soc" and g.width >= SOC_RANK2_MIN_DIM
+                for g in self.layout.groups.values()
+            )
+            tall = (((m >= 3 * n and m >= 500) or big_soc) and not any(
                 g.kind == "zero" for g in self.layout.groups.values()
             ))
             cond_flops = (2.0 * m * n * n + n ** 3 / 3.0) if tall \

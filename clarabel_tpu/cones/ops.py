@@ -314,7 +314,25 @@ def hs_diag(layout: ConeLayout, state: Dict, dtype):
     return y
 
 
-def hs_flat_values(layout: ConeLayout, state: Dict, dtype):
+# SOCs at/above this dimension use the rank-2 Hs representation in
+# sparse data mode: only the diagonal η²I enters the assembled KKT and
+# the ±rank-1 terms are applied as a Sherman-Morrison-Woodbury
+# correction (kkt/socrank.py).  The TPU-native counterpart of the
+# reference's sparse SOC expansion (reference: cone_types.jl:65-117,
+# directldl_datamaps.jl:8-79, SOC_NO_EXPANSION_MAX_SIZE=4): instead of
+# appending u,v rows/columns to the KKT (dynamic dimensions), the
+# low-rank terms stay outside the factorization in a static-shape dense
+# capacitance system.
+SOC_RANK2_MIN_DIM = 33
+
+
+def _is_rank2_soc(g, soc_rank2_min_dim) -> bool:
+    return (soc_rank2_min_dim is not None and g.kind == "soc"
+            and g.width >= soc_rank2_min_dim)
+
+
+def hs_flat_values(layout: ConeLayout, state: Dict, dtype,
+                   soc_rank2_min_dim=None):
     """Flat vector of all Hs entries, group by group, matching the KKT
     coordinates produced by `hs_coords` — the value side of the map-based
     sparse KKT assembly (the TPU analogue of the reference's per-cone
@@ -326,6 +344,13 @@ def hs_flat_values(layout: ConeLayout, state: Dict, dtype):
         if g.kind == "nn":
             w = state[name]["w"]
             parts.append(w * w)
+        elif _is_rank2_soc(g, soc_rank2_min_dim):
+            # rank-2 mode: only the η²I diagonal is assembled
+            eta = state[name]["eta"]
+            parts.append(
+                ((eta**2)[:, None]
+                 * jnp.ones((g.count, g.width), dtype)).reshape(-1)
+            )
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             blocks = 2.0 * w[:, :, None] * w[:, None, :]
@@ -349,7 +374,7 @@ def hs_flat_values(layout: ConeLayout, state: Dict, dtype):
     return jnp.concatenate(parts)
 
 
-def hs_coords(layout: ConeLayout, n: int):
+def hs_coords(layout: ConeLayout, n: int, soc_rank2_min_dim=None):
     """Host-side (rows, cols) KKT coordinates for every entry emitted by
     `hs_flat_values`, in identical order.  Conic rows are offset by n;
     bucketed-SOC pad entries get the out-of-range sentinel n+m (dropped
@@ -366,6 +391,10 @@ def hs_coords(layout: ConeLayout, n: int):
         if g.kind == "nn":
             rows_out.append(kk[0])
             cols_out.append(kk[0])
+        elif _is_rank2_soc(g, soc_rank2_min_dim):
+            # diagonal entries only (matches hs_flat_values rank-2 order)
+            rows_out.append(kk.reshape(-1))
+            cols_out.append(kk.reshape(-1))
         else:
             r = np.broadcast_to(kk[:, :, None], (g.count, g.width, g.width))
             c = np.broadcast_to(kk[:, None, :], (g.count, g.width, g.width))
@@ -726,3 +755,38 @@ def rectify_equilibration(layout: ConeLayout, e):
         delta = _scatter(delta, g, mean / eg_safe)
         changed = True
     return delta, changed
+
+
+def soc_rank2_uv(layout: ConeLayout, state: Dict, n: int, dtype,
+                 soc_rank2_min_dim=None):
+    """Columns of the rank-2 SOC correction for the SMW-corrected sparse
+    KKT (kkt/socrank.py).
+
+    For each rank-2 SOC,  Hs = η²(2ww' − J) = η²I + uu' − vv'  with
+    u = √2·η·w and v = √2·η·e₀ (using −J = I − 2e₀e₀', w'Jw = 1).  The
+    KKT carries −Hs, so  K = K₀ + U S U'  with per-cone column signs
+    s_u = −1, s_v = +1.  Returns (U, signs): U is (n+m, 2k) with the
+    columns scattered into the conic rows; k = total rank-2 SOC count.
+    Returns (None, None) when no rank-2 SOC exists in the layout.
+    """
+    N = n + layout.m
+    cols = []
+    signs = []
+    for name, g in layout.groups.items():
+        if not _is_rank2_soc(g, soc_rank2_min_dim):
+            continue
+        w, eta = state[name]["w"], state[name]["eta"]
+        coef = (np.sqrt(2.0) * eta)[:, None]
+        rows = n + g.idx  # (count, width); sentinel pads >= N drop
+        for c in range(g.count):
+            u = jnp.zeros((N,), dtype).at[rows[c]].set(
+                (coef[c] * w[c]).astype(dtype), mode="drop"
+            )
+            v = jnp.zeros((N,), dtype).at[rows[c, 0]].set(
+                (np.sqrt(2.0) * eta[c]).astype(dtype)
+            )
+            cols.extend([u, v])
+            signs.extend([-1.0, 1.0])
+    if not cols:
+        return None, None
+    return jnp.stack(cols, axis=1), np.asarray(signs)

@@ -282,7 +282,10 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
             from ..kkt import blockarrow as kkt_ba
             from ..kkt.assembly_maps_nd import NestedAssemblyMaps
 
-            hs_vals = cone_ops.hs_flat_values(layout, state, dtype)
+            srk = getattr(assembly, "soc_rank2_min_dim", None)
+            hs_vals = cone_ops.hs_flat_values(
+                layout, state, dtype, soc_rank2_min_dim=srk
+            )
             kkt_mv = kkt_ba.make_kkt_matvec(P, A, layout, state)
             plan = assembly.plan
 
@@ -313,20 +316,39 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                 assembly, P.vals, A.vals, hs_vals, settings, factor_dtype,
                 mesh=mesh, tp_axis=tp_axis,
             )
+            ok_factor = fac.ok
+
+            apply_fn = lambda r: kkt_ba._ba_apply(
+                fac, plan, r, mesh=mesh, tp_axis=tp_axis
+            )
+            if srk is not None:
+                # rank-2 SOC terms applied as an SMW correction around K₀
+                from ..kkt.socrank import wrap_apply_smw
+
+                U, usigns = cone_ops.soc_rank2_uv(
+                    layout, state, n, dtype, soc_rank2_min_dim=srk
+                )
+                if U is not None:
+                    apply_fn, ok_smw = wrap_apply_smw(
+                        apply_fn, U, usigns, settings
+                    )
+                    ok_factor = jnp.logical_and(ok_factor, ok_smw)
+
+            from ..kkt.refine import solve_refined
 
             def solve_xz(bx, bz):
-                return kkt_ba.kkt_solve_xz_blockarrow(
-                    fac, plan, kkt_mv, bx, bz, settings,
-                    mesh=mesh, tp_axis=tp_axis,
+                sol, ok = solve_refined(
+                    apply_fn, kkt_mv, jnp.concatenate([bx, bz]), settings
                 )
+                return sol[:n], sol[n:], ok
 
             def solve_xz2(bx1, bz1, bx2, bz2):
-                return kkt_ba.kkt_solve_xz2_blockarrow(
-                    fac, plan, kkt_mv, bx1, bz1, bx2, bz2, settings,
-                    mesh=mesh, tp_axis=tp_axis,
-                )
+                rhs = jnp.stack([jnp.concatenate([bx1, bz1]),
+                                 jnp.concatenate([bx2, bz2])], axis=1)
+                sol, ok = solve_refined(apply_fn, kkt_mv, rhs, settings)
+                return sol[:n, 0], sol[n:, 0], sol[:n, 1], sol[n:, 1], ok
 
-            return fac.ok, solve_xz, solve_xz2
+            return ok_factor, solve_xz, solve_xz2
 
         if kkt_backend == "multifrontal" and structure is not None:
             from ..structure_nd import NestedPlan

@@ -38,6 +38,9 @@ class AssemblyMaps:
     n_A: int
     n_hs: int
     plan: BlockArrowPlan
+    # rank-2 SOC threshold used when emitting Hs coords (None = dense
+    # per-cone Hs blocks); must match the hs_flat_values call at solve
+    soc_rank2_min_dim: "int | None" = None
 
     @property
     def buf_size(self) -> int:
@@ -51,11 +54,13 @@ class AssemblyMaps:
         h = hashlib.sha1()
         for a in (self.dest, self.diag_dest, self.diag_signs):
             h.update(np.ascontiguousarray(a).tobytes())
-        return (self.n_P, self.n_A, self.n_hs, h.hexdigest(), self.plan.key)
+        return (self.n_P, self.n_A, self.n_hs, h.hexdigest(),
+                self.soc_rank2_min_dim, self.plan.key)
 
 
 def build_assembly_maps(P_pattern, A_pattern, layout: ConeLayout,
-                        plan: BlockArrowPlan) -> AssemblyMaps:
+                        plan: BlockArrowPlan,
+                        soc_rank2_min_dim=None) -> AssemblyMaps:
     """P_pattern/A_pattern: (rows, cols) of structural nonzeros; P must be
     the FULL symmetric pattern."""
     n, m = plan.n, plan.m
@@ -113,7 +118,7 @@ def build_assembly_maps(P_pattern, A_pattern, layout: ConeLayout,
 
     Pr, Pc = P_pattern
     Ar, Ac = A_pattern
-    hr, hc = cone_ops.hs_coords(layout, n)
+    hr, hc = cone_ops.hs_coords(layout, n, soc_rank2_min_dim=soc_rank2_min_dim)
 
     dests = [
         dest_of(Pr, Pc),                    # P block (full symmetric)
@@ -140,7 +145,7 @@ def build_assembly_maps(P_pattern, A_pattern, layout: ConeLayout,
     return AssemblyMaps(
         dest=dest, pad_diag_dest=pad_diag_dest, diag_dest=diag_dest,
         diag_signs=diag_signs, n_P=len(Pr), n_A=len(Ar),
-        n_hs=len(hr), plan=plan,
+        n_hs=len(hr), plan=plan, soc_rank2_min_dim=soc_rank2_min_dim,
     )
 
 

@@ -108,7 +108,8 @@ def _as_pattern(M_or_pattern):
     return r, c, mask.shape
 
 
-def _kkt_supernode_graph(P_pat, A_pat, layout: ConeLayout):
+def _kkt_supernode_graph(P_pat, A_pat, layout: ConeLayout,
+                         soc_rank2_min_dim=None):
     """Build the quotient graph: nodes = n variables + one node per cone
     row group.  Returns (adjacency list, node -> KKT-row lists)."""
     pi, pj, (n, _) = P_pat
@@ -123,9 +124,14 @@ def _kkt_supernode_graph(P_pat, A_pat, layout: ConeLayout):
     ofs = 0
     for cone in layout.cones:
         k = nvars(cone)
-        from .cones.api import ZeroConeT, NonnegativeConeT
+        from .cones.api import ZeroConeT, NonnegativeConeT, SecondOrderConeT
 
-        if isinstance(cone, (ZeroConeT, NonnegativeConeT)):
+        # rank-2 SOCs keep only their diagonal inside the factored KKT
+        # (kkt/socrank.py), so their rows need not form one supernode
+        rank2_soc = (soc_rank2_min_dim is not None
+                     and isinstance(cone, SecondOrderConeT)
+                     and k >= soc_rank2_min_dim)
+        if isinstance(cone, (ZeroConeT, NonnegativeConeT)) or rank2_soc:
             for r in range(ofs, ofs + k):
                 row_node[r] = next_node
                 node_rows.append([n + r])
@@ -323,7 +329,8 @@ def _bisect(adj, nodes, weights, multilevel=False):
 
 def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
                         target_blocks: int = 8,
-                        min_block: int = 8) -> Optional[BlockArrowPlan]:
+                        min_block: int = 8,
+                        soc_rank2_min_dim=None) -> Optional[BlockArrowPlan]:
     """Try to find a useful block-arrow structure; None if the separator
     would be too large relative to N.  Races plans built with the native
     multilevel bisector on and off, keeping the cheaper flop estimate."""
@@ -334,7 +341,7 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
     for multilevel in modes:
         plan = _analyze_block_arrow_once(P_mask, A_mask, layout,
                                          target_blocks, min_block,
-                                         multilevel)
+                                         multilevel, soc_rank2_min_dim)
         if plan is not None and (
             best is None or plan.flop_estimate() < best.flop_estimate()
         ):
@@ -344,7 +351,9 @@ def analyze_block_arrow(P_mask, A_mask, layout: ConeLayout,
 
 def _analyze_block_arrow_once(P_mask, A_mask, layout: ConeLayout,
                               target_blocks: int, min_block: int,
-                              multilevel: bool) -> Optional[BlockArrowPlan]:
+                              multilevel: bool,
+                              soc_rank2_min_dim=None
+                              ) -> Optional[BlockArrowPlan]:
     """One block-arrow analysis pass with a fixed bisector configuration.
 
     P_mask/A_mask: dense boolean masks OR ((rows, cols), shape) patterns.
@@ -354,7 +363,8 @@ def _analyze_block_arrow_once(P_mask, A_mask, layout: ConeLayout,
     n = P_pat[2][0]
     m = A_pat[2][0]
     N = n + m
-    adj, node_rows = _kkt_supernode_graph(P_pat, A_pat, layout)
+    adj, node_rows = _kkt_supernode_graph(P_pat, A_pat, layout,
+                                          soc_rank2_min_dim)
     weights = [len(r) for r in node_rows]
 
     # recursive bisection until we reach the target block count

@@ -1,0 +1,129 @@
+"""Rank-2 SOC Hs in sparse mode (VERDICT r1 item #4).
+
+Large SOCs must not materialize O(d²) Hs entries: sparse assembly keeps
+only the η²I diagonal and the ±rank-1 terms apply as an SMW correction
+(kkt/socrank.py) — the role of the reference's sparse SOC expansion
+(reference: cone_types.jl:65-117, directldl_datamaps.jl:8-79).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from clarabel_tpu import (
+    Solver, Settings, SolverStatus, NonnegativeConeT, SecondOrderConeT,
+)
+from clarabel_tpu.cones.ops import SOC_RANK2_MIN_DIM
+
+
+def robust_ls_banded(m=240, n=80, band=3, seed=0):
+    """min t  s.t. ||Fx − g|| ≤ t, |x_i| ≤ 2 — banded F keeps the KKT
+    block-arrow-structured even with the big SOC."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        j0 = int(i * n / m)
+        for dj in range(band):
+            j = min(n - 1, j0 + dj)
+            rows.append(i)
+            cols.append(j)
+            vals.append(rng.standard_normal())
+    F = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    g = rng.standard_normal(m)
+
+    nv = n + 1  # x plus epigraph t
+    # SOC rows: s0 = t (row [0..0,-1], b 0); s_i = (Fx − g)_i
+    A_soc = sp.vstack([
+        sp.coo_matrix(([-1.0], ([0], [n])), shape=(1, nv)),
+        sp.hstack([-F, sp.csr_matrix((m, 1))]),
+    ])
+    b_soc = np.concatenate([[0.0], -g])
+    # bounds |x_i| <= 2
+    I = sp.eye(n, format="csr")
+    Z1 = sp.csr_matrix((n, 1))
+    A_bnd = sp.vstack([sp.hstack([I, Z1]), sp.hstack([-I, Z1])])
+    b_bnd = 2.0 * np.ones(2 * n)
+
+    A = sp.vstack([A_soc, A_bnd]).tocsr()
+    b = np.concatenate([b_soc, b_bnd])
+    P = sp.csr_matrix((nv, nv))
+    q = np.zeros(nv)
+    q[n] = 1.0
+    cones = [SecondOrderConeT(m + 1), NonnegativeConeT(2 * n)]
+    return P, q, A, b, cones, F, g
+
+
+def test_rank2_engages_and_matches_dense():
+    P, q, A, b, cones, F, g = robust_ls_banded()
+    assert cones[0].dim >= SOC_RANK2_MIN_DIM
+
+    s_sparse = Solver(P, q, A, b, cones, Settings(sparse_data=True))
+    assert s_sparse._sparse_mode, "expected sparse setup to succeed"
+    maps = getattr(s_sparse, "_structure", None)
+    # Hs entry count must be O(d), not O(d²): the SOC contributes d diag
+    # entries (+ the nn group's 2n)
+    d = cones[0].dim
+    from clarabel_tpu.cones.ops import hs_coords
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    hr, _ = hs_coords(ConeLayout(cones), P.shape[0],
+                      soc_rank2_min_dim=SOC_RANK2_MIN_DIM)
+    assert len(hr) < 4 * (d + 2 * 80), len(hr)
+
+    sol_sp = s_sparse.solve()
+    assert sol_sp.status == SolverStatus.SOLVED
+    assert sol_sp.r_prim < 1e-8 and sol_sp.r_dual < 1e-8
+
+    # condensed as the dense-path reference (dense LDL currently errors
+    # on a dim-241 SOC's dense Hs block — tracked separately)
+    sol_dn = Solver(P.toarray(), q, A.toarray(), b, cones,
+                    Settings(sparse_data=False,
+                             kkt_backend="condensed")).solve()
+    assert sol_dn.status == SolverStatus.SOLVED
+    assert abs(sol_sp.obj_val - sol_dn.obj_val) < 1e-6
+    # optimal t equals the residual norm
+    x = sol_sp.x[:80]
+    t = sol_sp.x[80]
+    assert abs(np.linalg.norm(F @ x - g) - t) < 1e-6
+
+
+def test_rank2_objective_matches_unconstrained_ls():
+    """With loose bounds the optimum is the (banded) LS residual."""
+    P, q, A, b, cones, F, g = robust_ls_banded(m=120, n=40, seed=3)
+    sol = Solver(P, q, A, b, cones, Settings(sparse_data=True)).solve()
+    assert sol.status == SolverStatus.SOLVED
+    import numpy.linalg as la
+
+    x_ls, *_ = la.lstsq(F.toarray(), g, rcond=None)
+    if np.all(np.abs(x_ls) <= 2.0 - 1e-9):
+        assert abs(sol.obj_val - la.norm(F @ x_ls - g)) < 1e-6
+
+
+def test_small_socs_keep_dense_blocks():
+    """SOCs below the threshold still use dense per-cone Hs blocks."""
+    from clarabel_tpu.cones.ops import hs_coords
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    cones = [SecondOrderConeT(5)]
+    lay = ConeLayout(cones)
+    hr, _ = hs_coords(lay, 3, soc_rank2_min_dim=SOC_RANK2_MIN_DIM)
+    assert len(hr) == 25  # full 5x5 block
+
+
+def test_auto_picks_condensed_for_big_soc_dense():
+    """Dense-path auto must not route big-SOC problems into the
+    unpermuted dense LDL (pivot growth with P = 0 diagonal)."""
+    P, q, A, b, cones, F, g = robust_ls_banded(m=120, n=40, seed=1)
+    s = Solver(P.toarray(), q, A.toarray(), b, cones,
+               Settings(sparse_data=False))
+    assert s._backend == "condensed"
+    sol = s.solve()
+    # this seed converges marginally (ALMOST at r_prim ~ 9e-7 on some
+    # platforms); the point here is the routing away from dense LDL,
+    # which errors out entirely on this class
+    assert sol.status in (SolverStatus.SOLVED, SolverStatus.ALMOST_SOLVED)
+    assert sol.r_prim < 1e-5 and sol.r_dual < 1e-8
+    import numpy.linalg as la
+
+    x_ls, *_ = la.lstsq(F.toarray(), g, rcond=None)
+    assert abs(sol.obj_val - la.norm(F @ x_ls - g)) < 1e-6
