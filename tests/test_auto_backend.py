@@ -74,3 +74,54 @@ def test_structured_problem_keeps_structure():
     assert s._structure is not None
     N = s.n + s.m
     assert s._structure.flop_estimate() <= 0.5 * N ** 3 / 3.0
+
+
+# ---------------------------------------------------------------------------
+# Shape-sweep grid: auto's backend choice across problem shapes (VERDICT r1
+# weak #6 / next #9).  Expectations were established by measuring each
+# backend on these shapes once (round 1-2 STATUS.md); the sweep pins the
+# heuristic so regressions change a test, not a benchmark.
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+def _mk_problem(kind, n, m_ratio, seed=0):
+    rng = np.random.default_rng(seed)
+    m = int(n * m_ratio)
+    if kind == "dense-qp":
+        F = rng.standard_normal((n, n)) / np.sqrt(n)
+        P = F @ F.T + np.eye(n)
+        A = np.vstack([rng.standard_normal((m - 2 * n, n)) / np.sqrt(n),
+                       np.eye(n), -np.eye(n)])
+        b = np.concatenate([np.ones(m - 2 * n) * 3,
+                            np.ones(n) * 3, np.ones(n) * 3])
+        cones = [NonnegativeConeT(m)]
+        q = rng.standard_normal(n)
+    elif kind == "tall-ls":
+        P = np.zeros((n, n))
+        A = np.vstack([rng.standard_normal((m - n, n)) / np.sqrt(n),
+                       -np.eye(n)])
+        b = np.concatenate([np.ones(m - n), np.ones(n) * 5])
+        cones = [NonnegativeConeT(m)]
+        q = rng.standard_normal(n)
+    else:
+        raise ValueError(kind)
+    return P, q, A, b, cones
+
+
+@_pytest.mark.parametrize("kind,n,m_ratio,expect", [
+    # small dense problems: plain ldl (structure machinery not worth it)
+    ("dense-qp", 24, 3.0, {"ldl"}),
+    ("dense-qp", 64, 2.5, {"ldl"}),
+    # tall zero-cone-free: condensed normal equations once m >= 3n, m>=500
+    ("tall-ls", 180, 3.0, {"condensed"}),
+    # moderately tall but short of the threshold: ldl
+    ("tall-ls", 60, 2.5, {"ldl"}),
+])
+def test_auto_choice_sweep(kind, n, m_ratio, expect):
+    P, q, A, b, cones = _mk_problem(kind, n, m_ratio)
+    s = Solver(P, q, A, b, cones, Settings(kkt_backend="auto"))
+    assert s._backend in expect, (kind, n, m_ratio, s._backend)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
