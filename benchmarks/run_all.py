@@ -4,6 +4,7 @@ Usage:  python benchmarks/run_all.py [--quick]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -59,6 +60,22 @@ def main():
     args = ap.parse_args()
 
     scale = 0.25 if args.quick else 1.0
+
+    # Maros–Mészáros-style named instances, ingested from real QPS files
+    # through the QPS reader (benchmarks/data; regenerate with
+    # python benchmarks/qps_instances.py)
+    from benchmarks import qps_instances
+    from clarabel_tpu.io.qps import load_qps
+
+    qps_instances.write_all()
+    for fname in sorted(qps_instances.INSTANCES):
+        path = os.path.join(qps_instances.DATA_DIR, fname)
+        prob = load_qps(path)
+
+        def _gen(p=prob):
+            return p.P.toarray(), p.q, p.A.toarray(), p.b, p.cones
+
+        run_single(f"qps {prob.name}", _gen)
 
     run_single("markowitz QP (200)", lambda: configs.markowitz_qp(
         n_assets=int(200 * scale) or 50))

@@ -124,3 +124,31 @@ ENDATA
                  prob.cones).solve()
     assert sol.status == SolverStatus.SOLVED
     assert abs(sol.x[0] - 0.5) < 1e-6
+
+
+def test_vendored_benchmark_instances():
+    """The named Maros–Mészáros-style instances (benchmarks/data) load
+    through the reader and solve to 1e-8 with pinned objectives."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks import qps_instances
+
+    qps_instances.write_all()
+    expected_obj = {
+        "CVXQP1-style": 3.773826e+01,
+        "CVXQP2-style": 2.110229e+01,
+        "CVXQP3-style": 4.615342e+01,
+        "AUG2DC-style": -2.685549e-01,
+    }
+    for fname in sorted(qps_instances.INSTANCES):
+        prob = load_qps(os.path.join(qps_instances.DATA_DIR, fname))
+        sol = Solver(prob.P.toarray(), prob.q, prob.A.toarray(), prob.b,
+                     prob.cones).solve()
+        assert sol.status == SolverStatus.SOLVED, (fname, sol.status)
+        assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
+        assert abs(sol.obj_val - expected_obj[prob.name]) < 1e-4, (
+            prob.name, sol.obj_val
+        )
