@@ -169,10 +169,26 @@ class ConeLayout:
                 dim2=d2,
             )
 
-        # structure key for jit caching
-        self.key = tuple(
-            (name, g.kind, g.idx.shape, g.psd_n, g.dim1, g.dim2)
-            for name, g in self.groups.items()
+        # structure key for jit caching.  Must hash the idx CONTENTS, not
+        # just shapes: the same cone multiset in a different order (e.g.
+        # [PSD(3), Zero(3)] vs [Zero(3), PSD(3)]) yields identical group
+        # shapes but different row maps, and the row maps are baked into
+        # the compiled program as constants — a shape-only key silently
+        # reuses the wrong executable (caught by test_cbf_reader).
+        import hashlib
+
+        h = hashlib.sha1()
+        for name, g in self.groups.items():
+            h.update(name.encode())
+            h.update(np.ascontiguousarray(g.idx).tobytes())
+            if getattr(g, "alpha", None) is not None:
+                h.update(np.ascontiguousarray(g.alpha).tobytes())
+        self.key = (
+            tuple(
+                (name, g.kind, g.idx.shape, g.psd_n, g.dim1, g.dim2)
+                for name, g in self.groups.items()
+            ),
+            h.hexdigest(),
         )
 
     # convenience predicates ------------------------------------------------

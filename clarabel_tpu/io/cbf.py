@@ -14,8 +14,11 @@ Conic form mapping (solver form: min qᵀx s.t. Ax + s = b, s ∈ K):
 * CBF EXP is (x1,x2,x3): x1 ≥ x2·e^{x3/x2} — the reversed triple of the
   solver's ExponentialConeT (z ≥ y·e^{x/y}); rows are permuted.
 
-PSD sections (PSDVAR/PSDCON/F/H/DCOORD) and integer variables raise
-NotImplementedError.
+PSD variables and PSD constraints are supported: PSDVAR blocks become
+svec'd variables with PSDTriangleConeT membership rows; PSDCON blocks
+become svec'd PSDTriangleConeT constraint rows.  ⟨F, X⟩ couplings use
+the standard svec inner product (off-diagonals scaled by √2).  Integer
+variables raise NotImplementedError.
 """
 
 import dataclasses
@@ -75,6 +78,12 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
     a_coord: List[Tuple[int, int, float]] = []
     b_coord: List[Tuple[int, float]] = []
     pow_params: dict = {}
+    psdvar_dims: List[int] = []
+    psdcon_dims: List[int] = []
+    f_coord: List[Tuple[int, int, int, int, float]] = []  # i, j, r, c, v
+    h_coord: List[Tuple[int, int, int, int, float]] = []  # i, j, r, c, v
+    d_coord: List[Tuple[int, int, int, float]] = []       # i, r, c, v
+    objf_coord: List[Tuple[int, int, int, float]] = []    # j, r, c, v
 
     i = 0
     while i < len(lines):
@@ -116,9 +125,34 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
                 con_blocks = blocks
         elif kw in ("INT",):
             raise NotImplementedError("integer variables not supported")
-        elif kw in ("PSDVAR", "PSDCON", "FCOORD", "HCOORD", "DCOORD",
-                    "OBJFCOORD"):
-            raise NotImplementedError(f"PSD section {kw} not supported yet")
+        elif kw in ("PSDVAR", "PSDCON"):
+            cnt = int(lines[i]); i += 1
+            dims = []
+            for _ in range(cnt):
+                dims.append(int(lines[i])); i += 1
+            if kw == "PSDVAR":
+                psdvar_dims = dims
+            else:
+                psdcon_dims = dims
+        elif kw in ("FCOORD", "HCOORD"):
+            cnt = int(lines[i]); i += 1
+            dst = f_coord if kw == "FCOORD" else h_coord
+            for _ in range(cnt):
+                t = lines[i].split(); i += 1
+                dst.append((int(t[0]), int(t[1]), int(t[2]), int(t[3]),
+                            float(t[4])))
+        elif kw == "DCOORD":
+            cnt = int(lines[i]); i += 1
+            for _ in range(cnt):
+                t = lines[i].split(); i += 1
+                d_coord.append((int(t[0]), int(t[1]), int(t[2]),
+                                float(t[3])))
+        elif kw == "OBJFCOORD":
+            cnt = int(lines[i]); i += 1
+            for _ in range(cnt):
+                t = lines[i].split(); i += 1
+                objf_coord.append((int(t[0]), int(t[1]), int(t[2]),
+                                   float(t[3])))
         elif kw == "OBJACOORD":
             cnt = int(lines[i]); i += 1
             for _ in range(cnt):
@@ -139,27 +173,50 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
         else:
             raise ValueError(f"unknown CBF section: {kw}")
 
+    # PSD variables append as svec'd scalar variables after the n scalar
+    # ones; svec order matches PSDTriangleConeT (column-stacked upper
+    # triangle, off-diagonals ×√2), so ⟨F, X⟩ = svec(F)ᵀ svec(X)
+    sqrt2 = math.sqrt(2.0)
+
+    def _svec_idx(r, c):
+        i, j = (r, c) if r <= c else (c, r)
+        return j * (j + 1) // 2 + i, (1.0 if i == j else sqrt2)
+
+    psd_t = [d * (d + 1) // 2 for d in psdvar_dims]
+    pofs = [n + int(s) for s in np.cumsum([0] + psd_t[:-1])] \
+        if psd_t else []
+    n_tot = n + sum(psd_t)
+
     # assemble CBF-side data
     if a_coord:
         ai, aj, av = map(np.asarray, zip(*a_coord))
+        ai, aj, av = (list(ai.astype(np.int64)), list(aj.astype(np.int64)),
+                      list(av))
     else:
-        ai = aj = av = np.zeros(0)
-    A_c = sp.coo_matrix((av, (ai.astype(np.int64), aj.astype(np.int64))),
-                        shape=(m_cbf, n)).tocsr()
+        ai, aj, av = [], [], []
+    for (ri, vj, r, c, v) in f_coord:   # ⟨F_ij, X_j⟩ into scalar row ri
+        idx, mult = _svec_idx(r, c)
+        ai.append(ri)
+        aj.append(pofs[vj] + idx)
+        av.append(v * mult)
+    A_c = sp.coo_matrix((av, (ai, aj)), shape=(m_cbf, n_tot)).tocsr()
     b_c = np.zeros(m_cbf)
     for r, v in b_coord:
         b_c[r] += v
 
-    q = np.zeros(n)
+    q = np.zeros(n_tot)
     for j, v in obj_a:
         q[j] += obj_sense * v
+    for (vj, r, c, v) in objf_coord:
+        idx, mult = _svec_idx(r, c)
+        q[pofs[vj] + idx] += obj_sense * v * mult
 
     rows_A: List[sp.csr_matrix] = []
     rows_b: List[np.ndarray] = []
     cones: list = []
-    sqrt2 = math.sqrt(2.0)
 
-    def emit(block_rows_A, block_rows_b, cone, dim, alpha_key=None):
+    def emit(block_rows_A, block_rows_b, cone, dim, alpha_key=None,
+             psd_side=None):
         """Append one cone block given its (dim, n) CBF-side rows G, g
         meaning  G x + g ∈ cone;  solver form rows are (−G) x + s = g."""
         G, g = block_rows_A, block_rows_b
@@ -189,6 +246,10 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
             cones.append(SecondOrderConeT(dim))
         elif cone == "EXP":
             cones.append(ExponentialConeT())
+        elif cone == "PSD":
+            from ..cones.api import PSDTriangleConeT
+
+            cones.append(PSDTriangleConeT(psd_side))
         elif cone.endswith(":POW") or cone == "POW":
             alphas = pow_params.get(alpha_key or cone)
             if alphas is None or len(alphas) != 2 or dim != 3:
@@ -202,7 +263,7 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
 
     # variable domains: −I x_block + s = 0
     ofs = 0
-    eye = sp.eye(n, format="csr")
+    eye = sp.eye(n_tot, format="csr")
     for cone, dim, _ in var_blocks:
         if cone != "F":
             emit(eye[ofs:ofs + dim], np.zeros(dim), cone, dim,
@@ -210,6 +271,10 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
         ofs += dim
     if ofs != n:
         raise ValueError("VAR block dims do not sum to the variable count")
+    # PSD variable membership: −I over the svec slots, s ∈ PSDTriangle
+    for j, d in enumerate(psdvar_dims):
+        t = psd_t[j]
+        emit(eye[pofs[j]:pofs[j] + t], np.zeros(t), "PSD", t, psd_side=d)
 
     # constraint rows
     ofs = 0
@@ -220,11 +285,31 @@ def load_cbf(path_or_str: str, name: Optional[str] = None) -> CBFProblem:
     if ofs != m_cbf:
         raise ValueError("CON block dims do not sum to the row count")
 
-    A = sp.vstack(rows_A).tocsc() if rows_A else sp.csc_matrix((0, n))
+    # PSD constraint blocks:  svec(Σ_k H_ik x_k + D_i) ∈ PSDTriangle
+    for bi, d in enumerate(psdcon_dims):
+        t = d * (d + 1) // 2
+        gi, gj, gv = [], [], []
+        g = np.zeros(t)
+        for (ci, vk, r, c, v) in h_coord:
+            if ci != bi:
+                continue
+            idx, mult = _svec_idx(r, c)
+            gi.append(idx)
+            gj.append(vk)
+            gv.append(v * mult)
+        for (ci, r, c, v) in d_coord:
+            if ci != bi:
+                continue
+            idx, mult = _svec_idx(r, c)
+            g[idx] += v * mult
+        G = sp.coo_matrix((gv, (gi, gj)), shape=(t, n_tot)).tocsr()
+        emit(G, g, "PSD", t, psd_side=d)
+
+    A = sp.vstack(rows_A).tocsc() if rows_A else sp.csc_matrix((0, n_tot))
     b = np.concatenate(rows_b) if rows_b else np.zeros(0)
-    P = sp.csc_matrix((n, n))
+    P = sp.csc_matrix((n_tot, n_tot))
     return CBFProblem(
         name=name or "cbf", P=P, q=q, A=A, b=b, cones=cones,
         obj_constant=obj_sense * obj_b, obj_sense=obj_sense,
-        n=n, m=A.shape[0],
+        n=n_tot, m=A.shape[0],
     )

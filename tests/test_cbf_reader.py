@@ -151,6 +151,89 @@ def test_cbf_power_cone():
     assert abs(sol.x[2] - 2 ** 0.6) < 1e-6
 
 
-def test_cbf_psd_raises():
-    with pytest.raises(NotImplementedError):
-        load_cbf("VER\n1\nPSDVAR\n1\n3\n")
+CBF_PSDVAR = """\
+# min <C, X> s.t. diag(X) = 1, X psd (3x3)
+VER
+2
+PSDVAR
+1
+3
+CON
+3 1
+L= 3
+OBJFCOORD
+4
+0 0 0 1.0
+0 1 0 -0.5
+0 2 1 0.25
+0 2 2 2.0
+FCOORD
+3
+0 0 0 0 1.0
+1 0 1 1 1.0
+2 0 2 2 1.0
+BCOORD
+3
+0 -1.0
+1 -1.0
+2 -1.0
+"""
+
+
+def test_cbf_psdvar():
+    from clarabel_tpu import ZeroConeT, PSDTriangleConeT
+
+    prob = load_cbf(CBF_PSDVAR)
+    assert prob.n == 6  # svec of a 3x3 block
+    sol = Solver(prob.P.toarray(), prob.q, prob.A.toarray(), prob.b,
+                 prob.cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+    # cross-check against the same SDP entered directly
+    C = np.array([[1.0, -0.5, 0.0], [-0.5, 0.0, 0.25], [0.0, 0.25, 2.0]])
+    sv = np.sqrt(2.0)
+
+    def svec(M):
+        return np.asarray([M[i, j] * (1.0 if i == j else sv)
+                           for j in range(3) for i in range(j + 1)])
+
+    q = svec(C)
+    Aeq = np.zeros((3, 6))
+    for r, k in enumerate([0, 2, 5]):
+        Aeq[r, k] = 1.0
+    A = np.vstack([Aeq, -np.eye(6)])
+    b = np.concatenate([np.ones(3), np.zeros(6)])
+    ref = Solver(np.zeros((6, 6)), q, A, b,
+                 [ZeroConeT(3), PSDTriangleConeT(3)]).solve()
+    assert ref.status == SolverStatus.SOLVED
+    assert abs(sol.obj_val - ref.obj_val) < 1e-7
+
+
+CBF_PSDCON = """\
+# min x s.t. [[x, 1], [1, x]] psd  ->  x* = 1
+VER
+2
+VAR
+1 1
+F 1
+PSDCON
+1
+2
+OBJACOORD
+1
+0 1.0
+HCOORD
+2
+0 0 0 0 1.0
+0 0 1 1 1.0
+DCOORD
+1
+0 1 0 1.0
+"""
+
+
+def test_cbf_psdcon():
+    prob = load_cbf(CBF_PSDCON)
+    sol = Solver(prob.P.toarray(), prob.q, prob.A.toarray(), prob.b,
+                 prob.cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert abs(sol.x[0] - 1.0) < 1e-6

@@ -225,3 +225,40 @@ def test_ldl_factor_unrolled_matches_loop():
     _, d2, _ = ldl_factor_unrolled(jnp.asarray(K), jnp.asarray(signs))
     assert np.allclose(np.asarray(d1), np.asarray(d2))
     assert np.asarray(d2)[5] == 2e-7
+
+
+def test_layout_key_distinguishes_cone_order():
+    """Same cone multiset in different order must NOT share a compiled
+    program: the row maps baked into the executable differ.  Regression
+    for a shape-only ConeLayout.key (caught via test_cbf_reader: the
+    second solve returned the first problem's row mapping)."""
+    import numpy as np
+    from clarabel_tpu import Solver, ZeroConeT, NonnegativeConeT
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    k1 = ConeLayout([ZeroConeT(2), NonnegativeConeT(3)]).key
+    k2 = ConeLayout([NonnegativeConeT(3), ZeroConeT(2)]).key
+    assert k1 != k2
+
+    # end-to-end: solve both orders back-to-back, check both optima
+    rng = np.random.default_rng(0)
+    n = 4
+    P = np.eye(n)
+    q = rng.standard_normal(n)
+    Aeq = rng.standard_normal((2, n))
+    beq = rng.standard_normal(2)
+    Aub = np.vstack([np.eye(n)[:3]])
+    bub = np.ones(3) * 2
+
+    A1 = np.vstack([Aeq, Aub])
+    b1 = np.concatenate([beq, bub])
+    s1 = Solver(P, q, A1, b1, [ZeroConeT(2), NonnegativeConeT(3)]).solve()
+
+    A2 = np.vstack([Aub, Aeq])
+    b2 = np.concatenate([bub, beq])
+    s2 = Solver(P, q, A2, b2, [NonnegativeConeT(3), ZeroConeT(2)]).solve()
+
+    assert s1.status.name == "SOLVED" and s2.status.name == "SOLVED"
+    assert np.linalg.norm(s1.x - s2.x) < 1e-8  # same problem, same optimum
+    assert np.max(np.abs(A1 @ s1.x + s1.s - b1)) < 1e-8
+    assert np.max(np.abs(A2 @ s2.x + s2.s - b2)) < 1e-8
