@@ -202,7 +202,7 @@ class Solver:
         from .cones.ops import SOC_RANK2_MIN_DIM
 
         srk = SOC_RANK2_MIN_DIM if any(
-            g.kind == "soc" and g.width >= SOC_RANK2_MIN_DIM
+            g.kind in ("soc", "genpow") and g.width >= SOC_RANK2_MIN_DIM
             for g in layout.groups.values()
         ) else None
 

@@ -331,6 +331,15 @@ def _is_rank2_soc(g, soc_rank2_min_dim) -> bool:
             and g.width >= soc_rank2_min_dim)
 
 
+def _is_lowrank_genpow(g, min_dim) -> bool:
+    """Large generalized power cones use the same SMW treatment: their
+    dual-scaling Hs = μ(D + pp' − qq' − rr') is diagonal-plus-rank-3
+    (reference keeps it sparse-expandable always,
+    coneops_genpowcone.jl:14-18, directldl_datamaps.jl:81-167)."""
+    return (min_dim is not None and g.kind == "genpow"
+            and g.width >= min_dim)
+
+
 def hs_flat_values(layout: ConeLayout, state: Dict, dtype,
                    soc_rank2_min_dim=None):
     """Flat vector of all Hs entries, group by group, matching the KKT
@@ -351,6 +360,13 @@ def hs_flat_values(layout: ConeLayout, state: Dict, dtype,
                 ((eta**2)[:, None]
                  * jnp.ones((g.count, g.width), dtype)).reshape(-1)
             )
+        elif _is_lowrank_genpow(g, soc_rank2_min_dim):
+            st = state[name]
+            dvec = jnp.concatenate(
+                [st["d1"], st["d2"][:, None]
+                 * jnp.ones((g.count, g.dim2), dtype)], axis=1,
+            )
+            parts.append((st["mu"] * dvec).reshape(-1))
         elif g.kind == "soc":
             w, eta = state[name]["w"], state[name]["eta"]
             blocks = 2.0 * w[:, :, None] * w[:, None, :]
@@ -391,8 +407,9 @@ def hs_coords(layout: ConeLayout, n: int, soc_rank2_min_dim=None):
         if g.kind == "nn":
             rows_out.append(kk[0])
             cols_out.append(kk[0])
-        elif _is_rank2_soc(g, soc_rank2_min_dim):
-            # diagonal entries only (matches hs_flat_values rank-2 order)
+        elif _is_rank2_soc(g, soc_rank2_min_dim) or \
+                _is_lowrank_genpow(g, soc_rank2_min_dim):
+            # diagonal entries only (matches hs_flat_values low-rank order)
             rows_out.append(kk.reshape(-1))
             cols_out.append(kk.reshape(-1))
         else:
@@ -773,20 +790,37 @@ def soc_rank2_uv(layout: ConeLayout, state: Dict, n: int, dtype,
     cols = []
     signs = []
     for name, g in layout.groups.items():
-        if not _is_rank2_soc(g, soc_rank2_min_dim):
-            continue
-        w, eta = state[name]["w"], state[name]["eta"]
-        coef = (np.sqrt(2.0) * eta)[:, None]
-        rows = n + g.idx  # (count, width); sentinel pads >= N drop
-        for c in range(g.count):
-            u = jnp.zeros((N,), dtype).at[rows[c]].set(
-                (coef[c] * w[c]).astype(dtype), mode="drop"
-            )
-            v = jnp.zeros((N,), dtype).at[rows[c, 0]].set(
-                (np.sqrt(2.0) * eta[c]).astype(dtype)
-            )
-            cols.extend([u, v])
-            signs.extend([-1.0, 1.0])
+        if _is_rank2_soc(g, soc_rank2_min_dim):
+            w, eta = state[name]["w"], state[name]["eta"]
+            coef = (np.sqrt(2.0) * eta)[:, None]
+            rows = n + g.idx  # (count, width); sentinel pads >= N drop
+            for c in range(g.count):
+                u = jnp.zeros((N,), dtype).at[rows[c]].set(
+                    (coef[c] * w[c]).astype(dtype), mode="drop"
+                )
+                v = jnp.zeros((N,), dtype).at[rows[c, 0]].set(
+                    (np.sqrt(2.0) * eta[c]).astype(dtype)
+                )
+                cols.extend([u, v])
+                signs.extend([-1.0, 1.0])
+        elif _is_lowrank_genpow(g, soc_rank2_min_dim):
+            # Hs = μD + (√μ p)(√μ p)' − (√μ q̄)(√μ q̄)' − (√μ r̄)(√μ r̄)'
+            st = state[name]
+            smu = jnp.sqrt(st["mu"])
+            d1 = g.dim1
+            rows = n + g.idx
+            for c in range(g.count):
+                up = jnp.zeros((N,), dtype).at[rows[c]].set(
+                    (smu * st["p"][c]).astype(dtype), mode="drop"
+                )
+                uq = jnp.zeros((N,), dtype).at[rows[c, :d1]].set(
+                    (smu * st["q"][c]).astype(dtype), mode="drop"
+                )
+                ur = jnp.zeros((N,), dtype).at[rows[c, d1:]].set(
+                    (smu * st["r"][c]).astype(dtype), mode="drop"
+                )
+                cols.extend([up, uq, ur])
+                signs.extend([-1.0, 1.0, 1.0])
     if not cols:
         return None, None
     return jnp.stack(cols, axis=1), np.asarray(signs)

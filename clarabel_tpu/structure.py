@@ -124,14 +124,16 @@ def _kkt_supernode_graph(P_pat, A_pat, layout: ConeLayout,
     ofs = 0
     for cone in layout.cones:
         k = nvars(cone)
-        from .cones.api import ZeroConeT, NonnegativeConeT, SecondOrderConeT
+        from .cones.api import (ZeroConeT, NonnegativeConeT,
+                                SecondOrderConeT, GenPowerConeT)
 
-        # rank-2 SOCs keep only their diagonal inside the factored KKT
-        # (kkt/socrank.py), so their rows need not form one supernode
-        rank2_soc = (soc_rank2_min_dim is not None
-                     and isinstance(cone, SecondOrderConeT)
-                     and k >= soc_rank2_min_dim)
-        if isinstance(cone, (ZeroConeT, NonnegativeConeT)) or rank2_soc:
+        # low-rank cones (big SOC/genpow) keep only their diagonal inside
+        # the factored KKT (kkt/socrank.py), so their rows need not form
+        # one supernode
+        lowrank = (soc_rank2_min_dim is not None
+                   and isinstance(cone, (SecondOrderConeT, GenPowerConeT))
+                   and k >= soc_rank2_min_dim)
+        if isinstance(cone, (ZeroConeT, NonnegativeConeT)) or lowrank:
             for r in range(ofs, ofs + k):
                 row_node[r] = next_node
                 node_rows.append([n + r])

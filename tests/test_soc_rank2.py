@@ -127,3 +127,43 @@ def test_auto_picks_condensed_for_big_soc_dense():
 
     x_ls, *_ = la.lstsq(F.toarray(), g, rcond=None)
     assert abs(sol.obj_val - la.norm(F @ x_ls - g)) < 1e-6
+
+
+def test_lowrank_genpow_sparse_mode():
+    """Large generalized power cones also use the diag+SMW path in sparse
+    mode (reference: the always-sparse-expandable genpow,
+    directldl_datamaps.jl:81-167).
+
+    max w1  s.t.  u = (1.5, 2), (u, w) in GenPow(0.4, 0.6, dim2=60):
+    w1* = 1.5^0.4 * 2^0.6.
+    """
+    from clarabel_tpu import GenPowerConeT
+
+    d2 = 60
+    width = 2 + d2
+    cone = [GenPowerConeT([0.4, 0.6], d2)]
+    nv = width
+    A = sp.vstack([
+        -sp.eye(nv),                      # membership rows: s = y in K
+        sp.coo_matrix(([1.0, 1.0], ([0, 1], [0, 1])), shape=(2, nv)),
+    ]).tocsr()
+    b = np.concatenate([np.zeros(nv), [1.5, 2.0]])
+    cones = cone + [__import__("clarabel_tpu").ZeroConeT(2)]
+    q = np.zeros(nv)
+    q[2] = -1.0  # max w1
+    P = sp.csr_matrix((nv, nv))
+
+    s = Solver(P, q, A, b, cones, Settings(sparse_data=True))
+    assert s._sparse_mode
+    assert s._structure is not None
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    expect = 1.5 ** 0.4 * 2.0 ** 0.6
+    assert abs(sol.x[2] - expect) < 1e-6
+    # Hs assembly is O(width), not O(width^2)
+    from clarabel_tpu.cones.ops import hs_coords
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    hr, _ = hs_coords(ConeLayout(cones), nv,
+                      soc_rank2_min_dim=SOC_RANK2_MIN_DIM)
+    assert len(hr) <= width + 2
