@@ -236,7 +236,8 @@ class Solver:
                 ba_plan = None
             else:
                 nd_plan = None
-        if self.mesh is None and ba_plan is not None and n + m <= 4096 and (
+        if self.mesh is None and srk is None and ba_plan is not None \
+                and n + m <= 4096 and (
             ba_plan.flop_estimate() > 0.5 * (n + m) ** 3 / 3.0
         ):
             # the "structure" doesn't beat a dense factorization by a
@@ -315,7 +316,22 @@ class Solver:
         # end-to-end (map-based structured KKT assembly; no dense N² data)
         want_sparse = self.settings.sparse_data
         if want_sparse is None:
-            want_sparse = (
+            # big SOC/genpow cones route through the sparse low-rank
+            # (diag + SMW) path even for dense inputs: the augmented
+            # system with the exact low-rank Hs is much better
+            # conditioned than the condensed normal equations (measured:
+            # dim-121-SOC robust-LS solves in 8 iters to 1e-11 vs
+            # stalling ALMOST at 9e-7 after 23), and the dense LDL
+            # suffers pivot growth on this class
+            from .cones.api import SecondOrderConeT, GenPowerConeT
+            from .cones.ops import SOC_RANK2_MIN_DIM
+
+            has_big_lowrank = cones is not None and any(
+                isinstance(c, (SecondOrderConeT, GenPowerConeT))
+                and nvars(c) >= SOC_RANK2_MIN_DIM
+                for c in cones
+            )
+            want_sparse = has_big_lowrank or (
                 sp.issparse(A)
                 and q.shape[0] + b.shape[0] > 2000
             )

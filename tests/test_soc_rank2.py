@@ -110,23 +110,27 @@ def test_small_socs_keep_dense_blocks():
     assert len(hr) == 25  # full 5x5 block
 
 
-def test_auto_picks_condensed_for_big_soc_dense():
-    """Dense-path auto must not route big-SOC problems into the
-    unpermuted dense LDL (pivot growth with P = 0 diagonal)."""
+def test_big_soc_dense_input_routes_to_lowrank():
+    """Dense inputs with a big SOC auto-route through the sparse
+    low-rank pipeline: the augmented system with exact rank-2 Hs solves
+    this instance in ~8 iterations to 1e-11, where dense condensed
+    stalls ALMOST at 9e-7 and dense LDL errors outright (pivot growth
+    with P = 0 diagonal)."""
     P, q, A, b, cones, F, g = robust_ls_banded(m=120, n=40, seed=1)
-    s = Solver(P.toarray(), q, A.toarray(), b, cones,
-               Settings(sparse_data=False))
-    assert s._backend == "condensed"
+    s = Solver(P.toarray(), q, A.toarray(), b, cones)
+    assert s._sparse_mode and s._backend == "blockarrow"
     sol = s.solve()
-    # this seed converges marginally (ALMOST at r_prim ~ 9e-7 on some
-    # platforms); the point here is the routing away from dense LDL,
-    # which errors out entirely on this class
-    assert sol.status in (SolverStatus.SOLVED, SolverStatus.ALMOST_SOLVED)
-    assert sol.r_prim < 1e-5 and sol.r_dual < 1e-8
+    assert sol.status == SolverStatus.SOLVED
+    assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
     import numpy.linalg as la
 
     x_ls, *_ = la.lstsq(F.toarray(), g, rcond=None)
     assert abs(sol.obj_val - la.norm(F @ x_ls - g)) < 1e-6
+
+    # explicitly forcing dense still routes to condensed (not dense LDL)
+    s2 = Solver(P.toarray(), q, A.toarray(), b, cones,
+                Settings(sparse_data=False))
+    assert s2._backend == "condensed"
 
 
 def test_lowrank_genpow_sparse_mode():
