@@ -152,3 +152,20 @@ def test_vendored_benchmark_instances():
         assert abs(sol.obj_val - expected_obj[prob.name]) < 1e-4, (
             prob.name, sol.obj_val
         )
+
+
+def test_cli_entry_point(capsys):
+    """python -m clarabel_tpu file.qps solves and reports."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks import qps_instances
+    from clarabel_tpu.__main__ import main
+
+    qps_instances.write_all()
+    path = os.path.join(qps_instances.DATA_DIR, "CVXQP1_style.qps")
+    rc = main([path, "--quiet"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "status=SOLVED" in out
