@@ -131,6 +131,13 @@ def main():
         "solved": n_solved,
         "wall_s": round(dt, 3),
         "mean_iters": float(np.mean(out.iterations)),
+        # achieved useful arithmetic (docs/PERF.md derives ~4k f64
+        # flops/iteration/instance for this config): the workload is
+        # latency-bound, not FLOP-bound — MFU vs the MXU peak is O(1e-6)
+        # by design and the relevant ceiling is kernel sequencing
+        "est_useful_gflops_per_s": round(
+            solves_per_sec * float(np.mean(out.iterations)) * 4e3 / 1e9, 3
+        ),
     }))
 
 

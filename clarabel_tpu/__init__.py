@@ -39,7 +39,7 @@ from .cones.api import (
 from .api import Solver, DefaultSolution, DefaultInfo
 from . import modeling
 from . import precompile
-from .parallel.batch import BatchSolver
+from .parallel.batch_impl import BatchSolver
 from .io.json_io import save_to_file, load_from_file
 
 __version__ = "0.1.0"
