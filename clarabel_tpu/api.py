@@ -16,7 +16,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .settings import Settings
-from .statuscodes import SolverStatus, status_string, status_is_infeasible
+from .statuscodes import SolverStatus, status_string
 from .cones.api import SupportedCone, nvars, cones_collapse
 from .cones.layout import ConeLayout
 from .ipm.loop import build_solve

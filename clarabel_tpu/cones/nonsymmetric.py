@@ -14,7 +14,6 @@ Data-dependent iteration (Newton–Raphson primal gradients, feasibility
 backtracking) becomes batched `lax.while_loop`s with per-cone done masks.
 """
 
-from typing import Dict, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layout import (ConeLayout, ConeGroup, _contig_start, _gather,
-                     _scatter, _row_range, _grow, _srow_set)
+from .layout import (ConeLayout, _gather, _scatter, _grow, _srow_set)
 from ..linalg.smallops import chol3_solve
 from . import psd as psd_ops
 from . import nonsymmetric as nonsym_ops

@@ -18,7 +18,7 @@ barrier line search correctly rejects infeasible steps.
 """
 
 from functools import lru_cache
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

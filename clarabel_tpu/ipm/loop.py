@@ -15,7 +15,6 @@ Variable set: (x, z, s, τ, κ) with residuals
     rτ = qᵀx + bᵀz + κ + xᵀPx/τ        (reference: src/residuals.jl:1-37)
 """
 
-import functools
 from typing import NamedTuple
 
 import numpy as np

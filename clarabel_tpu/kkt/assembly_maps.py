@@ -17,8 +17,6 @@ materialized, so problem size is bounded by the pattern, not N².
 """
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

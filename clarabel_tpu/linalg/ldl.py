@@ -20,7 +20,6 @@ right-looking variant (panel solve + MXU Schur update) is provided for
 larger single instances.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

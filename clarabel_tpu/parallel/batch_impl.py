@@ -16,10 +16,9 @@ import numpy as np
 
 from ..settings import Settings
 from ..statuscodes import SolverStatus
-from ..cones.api import SupportedCone, nvars, cones_collapse
+from ..cones.api import SupportedCone, cones_collapse
 from ..cones.layout import ConeLayout
 from ..ipm.loop import build_solve
-from ..api import _symmetrize_triu, _to_dense
 
 
 @dataclasses.dataclass

@@ -22,7 +22,7 @@ mental model.
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -22,7 +22,7 @@ partitioner is the upgrade path.
 """
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

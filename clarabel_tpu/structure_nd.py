@@ -23,7 +23,7 @@ Terminology (level 0 = root, level L = leaves):
 """
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
