@@ -49,3 +49,36 @@ class ConeGroupOps(Protocol):
 
     def compute_barrier(self, g, z, s, dz, ds, alpha):
         ...
+
+
+@runtime_checkable
+class SolutionLike(Protocol):
+    """AbstractSolution contract (reference: src/types.jl:279-311)."""
+
+    x: object
+    z: object
+    s: object
+    status: object
+    obj_val: object
+    iterations: object
+
+
+@runtime_checkable
+class SolverLike(Protocol):
+    """AbstractSolver contract (reference: src/abstract_types.jl +
+    src/solver.jl:5-29): anything that can be set up on conic data and
+    produce a SolutionLike."""
+
+    def solve(self):
+        ...
+
+
+@runtime_checkable
+class InfoLike(Protocol):
+    """AbstractInfo contract (reference: src/types.jl:198-251)."""
+
+    mu: object
+    iterations: object
+    res_primal: object
+    res_dual: object
+    status: object

@@ -262,3 +262,22 @@ def test_layout_key_distinguishes_cone_order():
     assert np.linalg.norm(s1.x - s2.x) < 1e-8  # same problem, same optimum
     assert np.max(np.abs(A1 @ s1.x + s1.s - b1)) < 1e-8
     assert np.max(np.abs(A2 @ s2.x + s2.s - b2)) < 1e-8
+
+
+def test_protocols_realized():
+    """The structural protocols are actually satisfied by the concrete
+    components (reference: abstract_types.jl contract role)."""
+    import numpy as np
+    from clarabel_tpu import Solver, BatchSolver, NonnegativeConeT
+    from clarabel_tpu.protocols import SolverLike, SolutionLike, InfoLike
+
+    P = np.eye(2)
+    q = np.ones(2)
+    A = -np.eye(2)
+    b = np.ones(2)
+    s = Solver(P, q, A, b, [NonnegativeConeT(2)])
+    assert isinstance(s, SolverLike)
+    sol = s.solve()
+    assert isinstance(sol, SolutionLike)
+    assert isinstance(s.get_info(), InfoLike)
+    assert isinstance(BatchSolver([NonnegativeConeT(2)], 2), SolverLike)
