@@ -1,0 +1,250 @@
+"""Double-float (float32-pair) arithmetic usable inside Pallas TPU kernels.
+
+TPU Pallas/Mosaic has no f64 type at all; XLA's own f64-on-TPU support is
+a float-float ("double-float") emulation at the HLO level, which is exactly
+why the batched IPM is latency-bound (docs/PERF.md): every tiny f64 op is
+its own fused-kernel launch.  This module provides the same ~2^-48
+arithmetic as explicit f32-pair operations so that the *entire* IPM
+iteration can run inside one Pallas kernel (ipm/megakernel.py) with no
+per-op dispatch cost.
+
+Representation: a `DF` holds (hi, lo) f32 arrays with value hi + lo,
+|lo| <= ulp(hi)/2.  Algorithms are the classic error-free transformations
+(Knuth two-sum, Dekker split/two-prod — no FMA on the VPU) as used in the
+double-double literature (Thall, "Extended-Precision Floating-Point
+Numbers for GPU Computation"; Hida-Li-Bailey QD).
+
+All operations are elementwise over arbitrary (broadcastable) jnp array
+shapes, so they work identically under jit, vmap, and inside Pallas kernel
+bodies (and under `interpret=True` on CPU for testing).
+
+Reference provenance: this backs the TPU redesign of the reference's f64
+dense linear algebra (reference: src/kktsolvers/direct-ldl/*.jl uses native
+f64; on TPU the equivalent precision must be built from f32 pairs).
+"""
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+_SPLITTER = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
+
+
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def _two_sum(a, b):
+    """Error-free a+b (Knuth): s + e == a + b exactly."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """Error-free a+b assuming |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    t = _SPLITTER * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Error-free a*b (Dekker, no FMA): p + e == a*b exactly."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+class DF:
+    """A double-float value: elementwise hi + lo over jnp f32 arrays."""
+
+    __slots__ = ("hi", "lo")
+    # win elementwise-op dispatch against raw jnp arrays
+    __array_priority__ = 1000
+
+    def __init__(self, hi, lo=None):
+        self.hi = _f32(hi)
+        self.lo = _f32(0.0) if lo is None else _f32(lo)
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def const(value: float):
+        """Trace-time constant split exactly in python float64."""
+        hi = np.float32(value)
+        lo = np.float32(float(value) - float(hi))
+        return DF(jnp.float32(hi), jnp.float32(lo))
+
+    @staticmethod
+    def zeros(shape):
+        z = jnp.zeros(shape, jnp.float32)
+        return DF(z, z)
+
+    # -- structure ----------------------------------------------------
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(self.hi.shape, self.lo.shape)
+
+    def __getitem__(self, idx):
+        return DF(self.hi[idx], self.lo[idx])
+
+    def astuple(self):
+        return self.hi, self.lo
+
+    # -- arithmetic ---------------------------------------------------
+    def __neg__(self):
+        return DF(-self.hi, -self.lo)
+
+    def __add__(self, other):
+        o = _as_df(other)
+        s, e = _two_sum(self.hi, o.hi)
+        t, f = _two_sum(self.lo, o.lo)
+        e = e + t
+        s, e = _quick_two_sum(s, e)
+        e = e + f
+        hi, lo = _quick_two_sum(s, e)
+        return DF(hi, lo)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self + (-_as_df(other))
+
+    def __rsub__(self, other):
+        return _as_df(other) + (-self)
+
+    def __mul__(self, other):
+        o = _as_df(other)
+        p, e = _two_prod(self.hi, o.hi)
+        e = e + (self.hi * o.lo + self.lo * o.hi)
+        hi, lo = _quick_two_sum(p, e)
+        return DF(hi, lo)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        o = _as_df(other)
+        # long division with two correction terms (full double-double)
+        q1 = self.hi / o.hi
+        r = self - o * q1
+        q2 = r.hi / o.hi
+        r = r - o * q2
+        q3 = r.hi / o.hi
+        s, e = _quick_two_sum(q1, q2)
+        return DF(s, e) + q3
+
+    def __rtruediv__(self, other):
+        return _as_df(other) / self
+
+    # -- comparisons (hi with lo tiebreak) ----------------------------
+    def __lt__(self, other):
+        o = _as_df(other)
+        return jnp.logical_or(
+            self.hi < o.hi,
+            jnp.logical_and(self.hi == o.hi, self.lo < o.lo),
+        )
+
+    def __le__(self, other):
+        o = _as_df(other)
+        return jnp.logical_or(
+            self.hi < o.hi,
+            jnp.logical_and(self.hi == o.hi, self.lo <= o.lo),
+        )
+
+    def __gt__(self, other):
+        return _as_df(other) < self
+
+    def __ge__(self, other):
+        return _as_df(other) <= self
+
+
+def _as_df(x):
+    if isinstance(x, DF):
+        return x
+    if isinstance(x, (int, float, np.floating)):
+        return DF.const(float(x))
+    return DF(_f32(x))
+
+
+def df(hi, lo=None) -> DF:
+    return DF(hi, lo)
+
+
+def where(mask, a, b) -> DF:
+    a, b = _as_df(a), _as_df(b)
+    return DF(jnp.where(mask, a.hi, b.hi), jnp.where(mask, a.lo, b.lo))
+
+
+def dabs(a: DF) -> DF:
+    return where(a.hi < 0, -a, a)
+
+
+def dmax(a, b) -> DF:
+    a, b = _as_df(a), _as_df(b)
+    return where(a < b, b, a)
+
+
+def dmin(a, b) -> DF:
+    a, b = _as_df(a), _as_df(b)
+    return where(b < a, b, a)
+
+
+def recip(a: DF) -> DF:
+    return _as_df(1.0) / a
+
+
+def sqrt(a: DF) -> DF:
+    """Double-float sqrt via one df Newton correction of the f32 root.
+
+    Domain: a > 0 (callers guard, as the cone ops do).  a == 0 -> 0.
+    """
+    y0 = jnp.sqrt(jnp.maximum(a.hi, 0.0))
+    y0_safe = jnp.where(y0 > 0, y0, 1.0)
+    p, e = _two_prod(y0, y0)
+    d = a - DF(p, e)
+    t = d.hi / (2.0 * y0_safe)
+    hi, lo = _quick_two_sum(y0, t)
+    return where(y0 > 0, DF(hi, lo), DF.zeros(()))
+
+
+def dsum(terms: Sequence[DF]) -> DF:
+    """Pairwise (tree) sum of a python list of DF values."""
+    items = list(terms)
+    if not items:
+        return DF.zeros(())
+    while len(items) > 1:
+        nxt = [items[i] + items[i + 1] for i in range(0, len(items) - 1, 2)]
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def ddot(a: Sequence[DF], b: Sequence[DF]) -> DF:
+    return dsum([x * y for x, y in zip(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# XLA-side conversions (outside the kernel)
+# ---------------------------------------------------------------------------
+
+def split_f64(x):
+    """f64 array -> (hi, lo) f32 pair, exactly (XLA side, not in-kernel)."""
+    x = jnp.asarray(x, jnp.float64)
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def join_f64(hi, lo):
+    """(hi, lo) f32 pair -> f64 array (XLA side, not in-kernel)."""
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
