@@ -331,6 +331,16 @@ class Solver:
                 and nvars(c) >= SOC_RANK2_MIN_DIM
                 for c in cones
             )
+            if has_big_lowrank and not sp.issparse(A):
+                # only take the COO-scatter assembly pipeline when the
+                # data is actually sparse: pushing a dense A through the
+                # per-nonzero maps makes XLA's scatter compilation
+                # explode (measured: >10 min compile on a dense-F
+                # robust-LS m=800 that condensed solves in ~2 s), and
+                # condensed handles dense big-SOC problems well
+                Ad = np.asarray(A)
+                nz = np.count_nonzero(Ad)
+                has_big_lowrank = nz <= 0.10 * Ad.size
             want_sparse = has_big_lowrank or (
                 sp.issparse(A)
                 and q.shape[0] + b.shape[0] > 2000

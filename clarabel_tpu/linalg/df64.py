@@ -30,35 +30,83 @@ import jax.numpy as jnp
 
 _SPLITTER = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
 
+# The error-free transformations below are EXACT floating-point identities
+# that XLA's HLO algebraic simplifier destroys in large graphs (it rewrites
+# (a+b)-a -> b and t-(t-a) -> a, which are true in real arithmetic but
+# erase exactly the rounding error we are capturing — measured: a jitted
+# refine chain degrades from 3e-15 to 1.5e-9).  `optimization_barrier` on
+# the pivot value blocks those rewrites.  Inside Pallas TPU kernels the
+# body is compiled by Mosaic (no HLO simplifier, and MLIR arith does not
+# reassociate floats without fast-math), and Mosaic has no lowering for
+# the barrier — so kernels disable it via `eft_barrier(False)`.
+_EFT_BARRIER = True
+
+
+class eft_barrier:
+    """Context manager toggling the anti-simplifier barriers."""
+
+    def __init__(self, enable: bool):
+        self.enable = enable
+
+    def __enter__(self):
+        global _EFT_BARRIER
+        self.prev = _EFT_BARRIER
+        _EFT_BARRIER = self.enable
+
+    def __exit__(self, *exc):
+        global _EFT_BARRIER
+        _EFT_BARRIER = self.prev
+
+
+def _guard(x):
+    if _EFT_BARRIER:
+        from jax import lax
+
+        return lax.optimization_barrier(x)
+    return x
+
 
 def _f32(x):
     return jnp.asarray(x, jnp.float32)
 
 
 def _two_sum(a, b):
-    """Error-free a+b (Knuth): s + e == a + b exactly."""
-    s = a + b
-    v = s - a
+    """Error-free a+b (Knuth): s + e == a + b exactly.
+
+    Both `s` and `v` are guarded: guarding only `s` still lets the
+    simplifier fold s-(s-a) -> a across the two subtractions, and
+    guarding only `v` lets it fold (a+b)-a -> b inside the barrier's
+    operand before the barrier applies.
+    """
+    s = _guard(a + b)
+    v = _guard(s - a)
     e = (a - (s - v)) + (b - v)
     return s, e
 
 
 def _quick_two_sum(a, b):
     """Error-free a+b assuming |a| >= |b|."""
-    s = a + b
+    s = _guard(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
-    t = _SPLITTER * a
-    hi = t - (t - a)
+    t = _guard(_SPLITTER * a)
+    d = _guard(t - a)
+    hi = t - d
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    """Error-free a*b (Dekker, no FMA): p + e == a*b exactly."""
-    p = a * b
+    """Error-free a*b (Dekker, no FMA): p + e == a*b exactly.
+
+    `p` is guarded: XLA rewrites patterns like mul(b, div(a, b)) into a
+    reassociated division, changing p's rounding while the Dekker error
+    terms still describe the ORIGINAL product — which turns the exact
+    p + e into an inconsistent pair (fatal inside div's cancellation).
+    """
+    p = _guard(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -74,7 +122,7 @@ class DF:
 
     def __init__(self, hi, lo=None):
         self.hi = _f32(hi)
-        self.lo = _f32(0.0) if lo is None else _f32(lo)
+        self.lo = jnp.zeros_like(self.hi) if lo is None else _f32(lo)
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -112,7 +160,7 @@ class DF:
         s, e = _quick_two_sum(s, e)
         e = e + f
         hi, lo = _quick_two_sum(s, e)
-        return DF(hi, lo)
+        return DF(_guard(hi), _guard(lo))
 
     __radd__ = __add__
 
@@ -127,18 +175,19 @@ class DF:
         p, e = _two_prod(self.hi, o.hi)
         e = e + (self.hi * o.lo + self.lo * o.hi)
         hi, lo = _quick_two_sum(p, e)
-        return DF(hi, lo)
+        return DF(_guard(hi), _guard(lo))
 
     __rmul__ = __mul__
 
     def __truediv__(self, other):
         o = _as_df(other)
-        # long division with two correction terms (full double-double)
-        q1 = self.hi / o.hi
+        # long division with two correction terms (full double-double);
+        # quotients guarded against div-chain reassociation rewrites
+        q1 = _guard(self.hi / o.hi)
         r = self - o * q1
-        q2 = r.hi / o.hi
+        q2 = _guard(r.hi / o.hi)
         r = r - o * q2
-        q3 = r.hi / o.hi
+        q3 = _guard(r.hi / o.hi)
         s, e = _quick_two_sum(q1, q2)
         return DF(s, e) + q3
 
