@@ -500,21 +500,25 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 parts.append(_dcat([_dstack([vg[0] + DF(amt)]), vg[1:]]))
         return _dcat(parts)
 
-    def soc_step_len_f32(X, Y):
-        """Min positive boundary root, batched per lane; f32 port of
-        cones/ops.py _soc_step_length_comp."""
-        x0, y0 = X[0], Y[0]
+    def soc_step_len_f32(Xd: DF, Yd: DF):
+        """Min positive boundary root, batched per lane (reference:
+        coneops_socone.jl:443-512).  The boundary quadratic's
+        coefficients cancel catastrophically near convergence (the SOC
+        is active, so z0^2 - ||z1||^2 ~ mu with z0 ~ 1): a, b, c, and
+        the discriminant are formed in df; the root selection and
+        ratios are f32 (relative precision only)."""
+        x0, y0 = Xd.hi[0], Yd.hi[0]
         a0 = jnp.where(jnp.logical_and(x0 >= 0, y0 < 0),
                        -x0 / jnp.where(y0 < 0, y0, -1.0), _BIG)
 
-        def soc_res(V):
-            v1n = _norm2_f32(V[1:])
-            return (V[0] - v1n) * (V[0] + v1n)
+        def soc_res_df(V: DF) -> DF:
+            return V[0] * V[0] - _dsum0(V[1:] * V[1:])
 
-        a = soc_res(Y)
-        b = 2.0 * (x0 * y0 - _fsum0(X[1:] * Y[1:]))
-        c = jnp.maximum(0.0, soc_res(X))
-        d_ = b * b - 4.0 * a * c
+        a_df = soc_res_df(Yd)
+        b_df = (Xd[0] * Yd[0] - _dsum0(Xd[1:] * Yd[1:])) * 2.0
+        c_df = df64.dmax(soc_res_df(Xd), 0.0)
+        d_df2 = b_df * b_df - a_df * c_df * 4.0
+        a, b, c, d_ = a_df.hi, b_df.hi, c_df.hi, d_df2.hi
         sqrt_d = jnp.sqrt(jnp.maximum(d_, 0.0))
         t = jnp.where(b >= 0, -b - sqrt_d, -b + sqrt_d)
         t_safe = jnp.where(t != 0, t, 1.0)
@@ -547,8 +551,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 alpha = jnp.minimum(alpha,
                                     jnp.minimum(_fmin0(az), _fmin0(as_)))
             else:
-                alpha = jnp.minimum(alpha, soc_step_len_f32(zg, dzg))
-                alpha = jnp.minimum(alpha, soc_step_len_f32(sg, dsg))
+                alpha = jnp.minimum(alpha,
+                                    soc_step_len_f32(z[lo:hi], dz[lo:hi]))
+                alpha = jnp.minimum(alpha,
+                                    soc_step_len_f32(s[lo:hi], ds[lo:hi]))
         return alpha
 
     def affine_ds(state, s: DF) -> DF:
@@ -924,6 +930,16 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             sr = np.float32(st.stall_detection_ratio)
             stagnating = jnp.logical_or(info["res_dual"] > sr * prev_rd,
                                         info["res_primal"] > sr * prev_rp)
+            # in-kernel refinement drives residuals to the df floor many
+            # iterations before the duality gap closes, so a residual-only
+            # stall check fires while centering steps are still making
+            # progress (measured: 37/4096 lanes end ALMOST with healthy
+            # alpha and a shrinking ~4e-8 gap).  Only call it a stall if
+            # the gap has ALSO stopped improving.
+            stagnating = jnp.logical_and(
+                stagnating,
+                jnp.logical_and(info["gap_abs"] > sr * prev_ga,
+                                info["gap_rel"] > sr * prev_gr))
             after_first = jnp.logical_and(
                 jnp.logical_and(active, status1 == UNSOLVED), iters > 1)
             eps_T = np.float32(np.finfo(np.float64).eps)
@@ -1117,6 +1133,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             status == MAX_ITERATIONS])
         almost = check_convergence(info, res["bz"].hi, res["qx"].hi,
                                    reduced_tols)
+        raw_status = status   # pre-almost terminal status (diagnostics)
         status = jnp.where(
             jnp.logical_and(errored, almost != UNSOLVED), almost,
             status).astype(jnp.int32)
@@ -1135,7 +1152,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                    DF(info["res_dual"]), DF(info["gap_abs"]),
                    DF(info["gap_rel"]), DF(mu_f), DF(alpha_f),
                    DF(sigma_f), DF(info["ktratio"]),
-                   tau * scaleinv, kappa * scaleinv]
+                   tau * scaleinv, kappa * scaleinv,
+                   DF(raw_status.astype(jnp.float32))]
         out = _dcat([x_out, z_out, s_out, _dstack(scalars)])
         return out.hi, out.lo, jnp.stack([status, iters], axis=0)
 
@@ -1149,7 +1167,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # ------------------------------------------------------------------
     # host wrapper
     # ------------------------------------------------------------------
-    OUTD = n + 2 * m + 12
+    OUTD = n + 2 * m + 13
 
     def _pallas_fn(G):
         bspec = lambda d: pl.BlockSpec((d, S8, L128),
@@ -1209,7 +1227,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         k = n + 2 * m
         names = ["obj_val", "obj_val_dual", "r_prim", "r_dual",
                  "gap_abs", "gap_rel", "mu", "step_length", "sigma",
-                 "ktratio", "tau", "kappa"]
+                 "ktratio", "tau", "kappa", "raw_status"]
         out = {
             "x": vals[:, :n],
             "z": vals[:, n:n + m],

@@ -81,6 +81,29 @@ class BatchSolver:
             g.kind == "zero" for g in self.layout.groups.values()
         ):
             backend = "condensed"
+
+        # "megakernel": the whole batched solve as ONE Pallas kernel per
+        # 1024-lane block (ipm/megakernel.py) — eliminates the per-op
+        # dispatch latency that bounds the vmapped XLA loop.  The rescue
+        # pass and the per-lane output schema are identical, so the rest
+        # of this class is backend-agnostic.
+        self._mega_fn = None
+        if backend == "megakernel":
+            from ..ipm import megakernel
+
+            if mesh is not None:
+                raise ValueError("megakernel does not support mesh=")
+            if not megakernel.eligible(self.layout, self.settings, n):
+                raise ValueError(
+                    "kkt_backend='megakernel' requires a small dense "
+                    "nn/soc-only layout at float64 (see "
+                    "ipm.megakernel.eligible)"
+                )
+            self._mega_fn = megakernel.build_mega_solve(
+                self.layout, self.settings, n, p_nonzero=p_nonzero,
+            )
+            backend = "condensed"  # rescue / fallback path
+
         solve_one = build_solve(
             self.layout, self.settings, n, p_nonzero=p_nonzero,
             kkt_backend=backend,
@@ -167,7 +190,10 @@ class BatchSolver:
         t0 = time.perf_counter()
         import jax
 
-        if self._batch_minor:
+        if self._mega_fn is not None:
+            out = {k: np.asarray(v)
+                   for k, v in self._mega_fn(P, q, A, b).items()}
+        elif self._batch_minor:
             out = self._solve_fn(
                 P.transpose(1, 2, 0), q.T, A.transpose(1, 2, 0), b.T
             )
