@@ -170,6 +170,8 @@ class BatchSolver:
         if len(take):
             sel = np.nonzero(fixed)[0]
             for k in out:
+                if k not in rout:
+                    continue  # backend-specific extras (e.g. raw_status)
                 merged = np.array(out[k])  # device_get buffers are read-only
                 merged[take] = rout[k][sel]
                 out[k] = merged
