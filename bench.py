@@ -79,8 +79,14 @@ def main():
     # the fastest measured on-chip and keeps every instance under ~15
     # iterations.  Override with BENCH_BACKEND=ldl-f64 / ldl-mixed /
     # condensed-mixed.
-    mode = os.environ.get("BENCH_BACKEND", "condensed")
+    # "mega" (default): the whole batched IPM as one Pallas kernel per
+    # 1024-lane block (ipm/megakernel.py) — measured 2 orders of
+    # magnitude over the vmapped XLA loop, which is latency-bound on
+    # per-op dispatch.  Override with BENCH_BACKEND=condensed /
+    # ldl-f64 / ldl-mixed / condensed-mixed for the XLA paths.
+    mode = os.environ.get("BENCH_BACKEND", "mega")
     settings = {
+        "mega": Settings(kkt_backend="megakernel"),
         "ldl-f64": Settings(),
         "ldl-mixed": Settings(mixed_precision=True),
         "condensed": Settings(kkt_backend="condensed"),

@@ -193,8 +193,9 @@ class BatchSolver:
         import jax
 
         if self._mega_fn is not None:
-            out = {k: np.asarray(v)
-                   for k, v in self._mega_fn(P, q, A, b).items()}
+            # one batched device_get: per-array fetches each pay a full
+            # host<->device round trip (catastrophic over a TPU tunnel)
+            out = jax.device_get(self._mega_fn(P, q, A, b))
         elif self._batch_minor:
             out = self._solve_fn(
                 P.transpose(1, 2, 0), q.T, A.transpose(1, 2, 0), b.T
