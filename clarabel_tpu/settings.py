@@ -128,6 +128,26 @@ class Settings:
     # block-arrow KKT assembly (None = auto: scipy-sparse inputs with
     # n+m > 2000 and a detectable block-arrow structure)
     sparse_data: Optional[bool] = None
+    # dense-LDL elimination order: True sorts pivots by descending
+    # |diag| at each factorization (quasidefinite-safe; prevents the
+    # pivot growth that breaks the natural order on P=0 big-SOC
+    # problems — kkt/dense.py), False keeps the reference's natural
+    # [x-block; z-block] order, None = auto (on, except on the
+    # lane-batched Pallas factor path which needs trace-time Dsigns).
+    dense_ldl_diag_order: Optional[bool] = None
+    # megakernel (ipm/megakernel.py) two-phase precision schedule: the
+    # fused Pallas IPM runs plain-f32 iterations while mu >
+    # megakernel_switch_mu, then double-float (f32-pair) endgame
+    # iterations; all termination statuses are assigned by the
+    # double-float phase, so certified accuracy is unchanged.  Default
+    # OFF: measured on v5e, the f32 phase does not pay at 1e-8
+    # tolerances — much of the loop body (step lengths, masks, norms)
+    # is already f32 in the double-float kernel, and the cheaper f32
+    # steps cost extra iterations (29.5 ms -> 44.3 ms per 4096-lane
+    # batch at mu_switch=1e-3; docs/PERF.md round 3).  Kept as an
+    # option for relaxed-tolerance workloads.
+    megakernel_two_phase: bool = False
+    megakernel_switch_mu: float = 1e-3
     # stall detection at the accuracy floor.  The reference's
     # insufficient-progress check (src/info.jl:80-91) requires a strict
     # residual *increase* while the gap is already below tolerance; on

@@ -92,3 +92,103 @@ def test_fuzz(family, seed):
     sol = Solver(P, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED, f"{family} seed {seed}"
     check_kkt(P, q, A, b, sol)
+
+
+# ---------------------------------------------------------------------------
+# megakernel robustness beyond the bench distribution (VERDICT r2 #4):
+# random data with wide conditioning spread through the fused-kernel
+# backend must never produce false INSUFFICIENT_PROGRESS /
+# NUMERICAL_ERROR / MAX_ITERATIONS on strictly-feasible instances, and
+# solved lanes must agree with the XLA loop solver.
+# ---------------------------------------------------------------------------
+
+_MEGA_LAYOUTS = [
+    # (n, cones): two nn/soc mixes inside megakernel.eligible's regime
+    (3, [NonnegativeConeT(3), SecondOrderConeT(3)]),
+    (4, [SecondOrderConeT(3), NonnegativeConeT(2), SecondOrderConeT(4)]),
+]
+
+
+def _mega_feasible_batch(rng, B, n, cones):
+    """Strictly-feasible random instances for a fixed nn/soc layout,
+    with deliberately wide conditioning: P eigenvalue spread up to 1e4
+    and row scalings of A spread over 1e-2..1e2 (the equilibrator's
+    job to undo)."""
+    m = sum(c.dim for c in cones)
+    Ps = np.empty((B, n, n))
+    qs = np.empty((B, n))
+    As = np.empty((B, m, n))
+    bs = np.empty((B, m))
+    for k in range(B):
+        spread = 10.0 ** rng.uniform(0, 4)
+        eigs = np.logspace(0, -np.log10(spread), n)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        Ps[k] = (Q * eigs) @ Q.T
+        qs[k] = rng.standard_normal(n)
+        x0 = rng.standard_normal(n)
+        rows_A, rows_b = [], []
+        for c in cones:
+            d = c.dim
+            if isinstance(c, NonnegativeConeT):
+                G = rng.standard_normal((d, n))
+                h = G @ x0 + rng.uniform(0.1, 1.0, d)
+            else:
+                a1 = rng.standard_normal(n)
+                A2 = rng.standard_normal((d - 1, n))
+                v = rng.standard_normal(d - 1) * 0.3
+                h_tail = A2 @ x0 + v
+                h_head = a1 @ x0 + np.linalg.norm(v) + rng.uniform(
+                    0.2, 1.0)
+                G = np.vstack([a1, A2])
+                h = np.concatenate([[h_head], h_tail])
+            rows_A.append(G)
+            rows_b.append(h)
+        Ak = np.vstack(rows_A)
+        bk = np.concatenate(rows_b)
+        # wide row scalings — per-row on nn segments, but SCALAR per soc
+        # segment: the SOC is only invariant under uniform scaling of
+        # the whole block (the reason equilibration rectifies soc
+        # scalings to segment means)
+        rowscale = np.empty(m)
+        lo = 0
+        for c in cones:
+            d = c.dim
+            if isinstance(c, NonnegativeConeT):
+                rowscale[lo:lo + d] = 10.0 ** rng.uniform(-2, 2, d)
+            else:
+                rowscale[lo:lo + d] = 10.0 ** rng.uniform(-2, 2)
+            lo += d
+        As[k] = Ak * rowscale[:, None]
+        bs[k] = bk * rowscale
+    return Ps, qs, As, bs
+
+
+@pytest.mark.parametrize("li", range(len(_MEGA_LAYOUTS)))
+def test_fuzz_megakernel(li):
+    from clarabel_tpu import BatchSolver
+
+    n, cones = _MEGA_LAYOUTS[li]
+    rng = np.random.default_rng(7000 + li)
+    B = 128
+    P, q, A, b = _mega_feasible_batch(rng, B, n, cones)
+    mega = BatchSolver(cones, n, Settings(kkt_backend="megakernel"))
+    out = mega.solve(P, q, A, b)
+    ref = BatchSolver(cones, n,
+                      Settings(kkt_backend="condensed")).solve(P, q, A, b)
+
+    bad = ~np.isin(out.status, (int(SolverStatus.SOLVED),
+                                int(SolverStatus.ALMOST_SOLVED)))
+    assert not bad.any(), (
+        f"layout {li}: false failures at lanes {np.nonzero(bad)[0]}: "
+        f"{out.status[bad]}"
+    )
+    # strictly-feasible construction: the vast majority must fully
+    # solve; the ALMOST_SOLVED tail is the known marginal-lane class
+    # (double-float accuracy floor — the rescue pass exists for it) and
+    # its exact membership wobbles with XLA compile options, so the
+    # bound leaves it ~5% headroom
+    solved = out.status == int(SolverStatus.SOLVED)
+    assert solved.sum() >= B - 6
+    for i in np.nonzero(solved & (ref.status == int(SolverStatus.SOLVED)))[0]:
+        assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-5 * (
+            1 + abs(ref.obj_val[i]))

@@ -84,8 +84,11 @@ def test_matches_reference(mega_solver):
         rd = np.linalg.norm(P[i] @ out.x[i] + q[i] + A[i].T @ out.z[i])
         assert rp < 1e-7 and rd < 1e-7
         assert abs(out.s[i] @ out.z[i]) < 1e-6
-        # iteration counts in the same ballpark as the reference loop
-        assert abs(int(out.iterations[i]) - int(ref.iterations[i])) <= 2
+        # iteration counts in the same ballpark as the reference loop.
+        # The kernel's f32 phase takes slightly different (cheaper)
+        # steps while mu is large, so counts drift a little more than
+        # the pure-df64 kernel did (docs/DEVIATIONS.md).
+        assert abs(int(out.iterations[i]) - int(ref.iterations[i])) <= 4
 
 
 def test_rescue_closes_marginal_lanes():
