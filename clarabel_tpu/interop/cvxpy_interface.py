@@ -10,6 +10,14 @@ is already this solver's geometry (the reference flips constraint signs
 the same way, MOI_wrapper.jl:625-673), so `apply` is a direct cone-order
 mapping and `invert` a status/value repack.
 
+The DATA PATH is factored into pure functions that do not import cvxpy —
+`cones_from_dims`, `resolve_settings`, `solve_conic_data`, `map_status`,
+`solution_to_parts` — so the reduction and recovery logic is
+unit-testable in environments without cvxpy (tests/test_cvxpy_interface.py
+runs them against hand-built fixtures; the live end-to-end tests still
+importorskip cvxpy).  Status strings mirror cvxpy.settings' constants,
+which are plain strings by definition.
+
 Usage (requires cvxpy ≥ 1.3, optional dependency):
 
     import cvxpy as cp
@@ -23,6 +31,8 @@ cone, mirroring the reference's MOI GenPowerCone extension).
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -52,20 +62,122 @@ except ImportError:  # pragma: no cover
             super().__init_subclass__(**kw)
 
 
-def _status_map(status):
+# cvxpy.settings status-string constants (they ARE these strings; pinned
+# here so the pure data path works without cvxpy, and asserted against
+# the real module when it is importable)
+OPTIMAL = "optimal"
+OPTIMAL_INACCURATE = "optimal_inaccurate"
+INFEASIBLE = "infeasible"
+INFEASIBLE_INACCURATE = "infeasible_inaccurate"
+UNBOUNDED = "unbounded"
+UNBOUNDED_INACCURATE = "unbounded_inaccurate"
+USER_LIMIT = "user_limit"
+SOLVER_ERROR = "solver_error"
+
+if _HAVE_CVXPY:  # keep the pinned strings honest
+    assert OPTIMAL == cvx_s.OPTIMAL and USER_LIMIT == cvx_s.USER_LIMIT
+
+
+def map_status(status) -> str:
+    """SolverStatus -> cvxpy status string (MOI_wrapper.jl:48-85 role)."""
     from ..statuscodes import SolverStatus
 
-    s = cvx_s
     return {
-        SolverStatus.SOLVED: s.OPTIMAL,
-        SolverStatus.ALMOST_SOLVED: s.OPTIMAL_INACCURATE,
-        SolverStatus.PRIMAL_INFEASIBLE: s.INFEASIBLE,
-        SolverStatus.ALMOST_PRIMAL_INFEASIBLE: s.INFEASIBLE_INACCURATE,
-        SolverStatus.DUAL_INFEASIBLE: s.UNBOUNDED,
-        SolverStatus.ALMOST_DUAL_INFEASIBLE: s.UNBOUNDED_INACCURATE,
-        SolverStatus.MAX_ITERATIONS: s.USER_LIMIT,
-        SolverStatus.MAX_TIME: s.USER_LIMIT,
-    }.get(status, s.SOLVER_ERROR)
+        SolverStatus.SOLVED: OPTIMAL,
+        SolverStatus.ALMOST_SOLVED: OPTIMAL_INACCURATE,
+        SolverStatus.PRIMAL_INFEASIBLE: INFEASIBLE,
+        SolverStatus.ALMOST_PRIMAL_INFEASIBLE: INFEASIBLE_INACCURATE,
+        SolverStatus.DUAL_INFEASIBLE: UNBOUNDED,
+        SolverStatus.ALMOST_DUAL_INFEASIBLE: UNBOUNDED_INACCURATE,
+        SolverStatus.MAX_ITERATIONS: USER_LIMIT,
+        SolverStatus.MAX_TIME: USER_LIMIT,
+    }.get(status, SOLVER_ERROR)
+
+
+def cones_from_dims(cone_dims: dict):
+    """cvxpy solver-dims dict -> native cone list, in cvxpy's standard
+    conic order (zero, nonneg, soc, psd, exp, pow3d, pownd).
+
+    `cone_dims` uses cvxpy's `dims_to_solver_dict` keys: "z" (int),
+    "l" (int), "q" (list of SOC dims), "s" (list of PSD side lengths),
+    "ep" (int, # of exp cones), "p3d" (list of power-cone alphas),
+    "pnd" (list of alpha vectors)."""
+    import clarabel_tpu as ct
+
+    cones = []
+    if cone_dims.get("z"):
+        cones.append(ct.ZeroConeT(cone_dims["z"]))
+    if cone_dims.get("l"):
+        cones.append(ct.NonnegativeConeT(cone_dims["l"]))
+    for dim in cone_dims.get("q", []):
+        cones.append(ct.SecondOrderConeT(dim))
+    for dim in cone_dims.get("s", []):
+        cones.append(ct.PSDTriangleConeT(dim))
+    for _ in range(cone_dims.get("ep", 0)):
+        cones.append(ct.ExponentialConeT())
+    for alpha in cone_dims.get("p3d", []):
+        cones.append(ct.PowerConeT(alpha))
+    # n-dimensional power cones (cvxpy PowConeND -> generalized power
+    # cone; the reference ships the analogous MOI extension,
+    # reference: src/MOI_wrapper/MOI_extensions.jl:12-26)
+    for alpha in cone_dims.get("pnd", []):
+        alpha = np.asarray(alpha, dtype=np.float64).ravel()
+        cones.append(ct.GenPowerConeT(alpha, 1))
+    return cones
+
+
+def resolve_settings(base, overrides: dict, solver_opts, verbose: bool):
+    """Merge Settings overrides: constructor kwargs < solve-time
+    solver_opts < explicit verbose flag; unknown keys are dropped (the
+    reference's RawOptimizerAttribute passthrough role,
+    MOI_wrapper.jl:240-266)."""
+    import clarabel_tpu as ct
+
+    settings = base if base is not None else ct.Settings()
+    opts = dict(overrides)
+    opts.update(solver_opts or {})
+    opts.setdefault("verbose", bool(verbose))
+    valid = {f.name for f in dataclasses.fields(ct.Settings)}
+    opts = {k: v for k, v in opts.items() if k in valid}
+    return dataclasses.replace(settings, **opts)
+
+
+def solve_conic_data(A, b, c, P, cone_dims, settings=None,
+                     overrides=None, solver_opts=None, verbose=False):
+    """Solve cvxpy-standard conic data (min cᵀx s.t. Ax + s = b, s ∈ K)
+    through the native Solver.  Pure data path — no cvxpy objects."""
+    import clarabel_tpu as ct
+
+    c = np.asarray(c, dtype=np.float64)
+    n = c.shape[0]
+    cones = cones_from_dims(cone_dims)
+    settings = resolve_settings(settings, overrides or {}, solver_opts,
+                                verbose)
+    solver = ct.Solver(
+        P if P is not None else np.zeros((n, n)),
+        c, A, np.asarray(b, dtype=np.float64), cones, settings,
+    )
+    return solver.solve()
+
+
+def solution_to_parts(solution, offset: float):
+    """Native solution -> (status_str, opt_val, x, z, attr) with the
+    objective offset applied; (status, None, None, None, attr) for
+    non-value statuses.  The dual sign convention matches cvxpy's
+    conic standard form directly (both use Ax + s = b with s ∈ K, so z
+    needs no flip — same as the reference's MOI getters,
+    MOI_wrapper.jl:197-296)."""
+    status = map_status(solution.status)
+    attr = {
+        "solve_time": solution.solve_time,
+        "num_iters": solution.iterations,
+        "solver_specific_stats": solution,
+    }
+    if status in (OPTIMAL, OPTIMAL_INACCURATE, USER_LIMIT):
+        opt_val = solution.obj_val + offset
+        return (status, opt_val, np.asarray(solution.x),
+                np.asarray(solution.z), attr)
+    return status, None, None, None, attr
 
 
 class ClarabelTPU(ConicSolver):
@@ -112,68 +224,24 @@ class ClarabelTPU(ConicSolver):
 
     def solve_via_data(self, data, warm_start, verbose, solver_opts,
                        solver_cache=None):
-        import clarabel_tpu as ct
-
-        A = data[cvx_s.A]
-        b = data[cvx_s.B]
-        c = data[cvx_s.C]
-        n = c.shape[0]
-        P = data.get(cvx_s.P, None)
-        cone_dims = dims_to_solver_dict(data["dims"])
-
-        cones = []
-        if cone_dims["z"]:
-            cones.append(ct.ZeroConeT(cone_dims["z"]))
-        if cone_dims["l"]:
-            cones.append(ct.NonnegativeConeT(cone_dims["l"]))
-        for dim in cone_dims["q"]:
-            cones.append(ct.SecondOrderConeT(dim))
-        for dim in cone_dims["s"]:
-            cones.append(ct.PSDTriangleConeT(dim))
-        for _ in range(cone_dims["ep"]):
-            cones.append(ct.ExponentialConeT())
-        for alpha in cone_dims["p3d"]:
-            cones.append(ct.PowerConeT(alpha))
-        # n-dimensional power cones (cvxpy PowConeND -> generalized power
-        # cone; the reference ships the analogous MOI extension,
-        # reference: src/MOI_wrapper/MOI_extensions.jl:12-26)
-        for alpha in cone_dims.get("pnd", []):
-            alpha = np.asarray(alpha, dtype=np.float64).ravel()
-            cones.append(ct.GenPowerConeT(alpha, 1))
-
-        settings = self._settings if self._settings is not None else ct.Settings()
-        import dataclasses
-
-        opts = dict(self._overrides)
-        opts.update(solver_opts or {})
-        opts.setdefault("verbose", bool(verbose))
-        valid = {f.name for f in dataclasses.fields(ct.Settings)}
-        opts = {k: v for k, v in opts.items() if k in valid}
-        settings = dataclasses.replace(settings, **opts)
-
-        solver = ct.Solver(
-            P if P is not None else np.zeros((n, n)),
-            np.asarray(c, dtype=np.float64),
-            A, np.asarray(b, dtype=np.float64), cones, settings,
+        return solve_conic_data(
+            data[cvx_s.A], data[cvx_s.B], data[cvx_s.C],
+            data.get(cvx_s.P, None),
+            dims_to_solver_dict(data["dims"]),
+            settings=self._settings, overrides=self._overrides,
+            solver_opts=solver_opts, verbose=verbose,
         )
-        return solver.solve()
 
     def invert(self, solution, inverse_data):
-        status = _status_map(solution.status)
+        status, opt_val, x, z, attr = solution_to_parts(
+            solution, inverse_data[cvx_s.OFFSET])
         attr = {
-            cvx_s.SOLVE_TIME: solution.solve_time,
-            cvx_s.NUM_ITERS: solution.iterations,
-            cvx_s.EXTRA_STATS: solution,
+            cvx_s.SOLVE_TIME: attr["solve_time"],
+            cvx_s.NUM_ITERS: attr["num_iters"],
+            cvx_s.EXTRA_STATS: attr["solver_specific_stats"],
         }
-        if status in (cvx_s.OPTIMAL, cvx_s.OPTIMAL_INACCURATE,
-                      cvx_s.USER_LIMIT):
-            primal_val = solution.obj_val
-            opt_val = primal_val + inverse_data[cvx_s.OFFSET]
-            primal_vars = {
-                inverse_data[self.VAR_ID]: np.asarray(solution.x)
-            }
-            dual_vars = {
-                inverse_data[self.DUAL_VAR_ID]: np.asarray(solution.z)
-            }
+        if opt_val is not None:
+            primal_vars = {inverse_data[self.VAR_ID]: x}
+            dual_vars = {inverse_data[self.DUAL_VAR_ID]: z}
             return Solution(status, opt_val, primal_vars, dual_vars, attr)
         return failure_solution(status, attr)
