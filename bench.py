@@ -44,8 +44,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 import numpy as np
 
 BASELINE_ESTIMATE_SOLVES_PER_SEC = 2000.0  # generous native-CPU estimate
-BATCH = 4096
-BATCH_BIG = 16384
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 16384))
 N = 6  # variables per instance
 
 
@@ -145,15 +145,15 @@ def main():
         eye = np.eye(P.shape[-1])
         dg = np.diagonal(P, axis1=-2, axis2=-1)
         Ps = U + np.swapaxes(U, -1, -2) + dg[..., None, :] * eye
-        dargs = [jax.device_put(np.asarray(a, np.float64))
-                 for a in (Ps, q, A[:1], b)]
+        _, _, packed, shared = bs._mega_fn.prepare(Ps, q, A, b)
+        dargs = [jax.device_put(a) for a in (packed, *shared)]
         o = bs._mega_fn.solve_padded(*dargs)
         jax.block_until_ready(o)
         t0 = time.perf_counter()
         o = bs._mega_fn.solve_padded(*dargs)
         jax.block_until_ready(o)
         t_kern = time.perf_counter() - t0
-        st = bs._mega_fn.unpack(np.asarray(o))["status"]
+        st = bs._mega_fn.unpack_eager(np.asarray(o[0]))["status"]
         kernel_rate = round(
             int(np.sum(st == int(SolverStatus.SOLVED))) / t_kern, 1)
 

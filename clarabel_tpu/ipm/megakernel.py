@@ -362,6 +362,51 @@ def _any_lane(mask):
     return jnp.max(jnp.where(mask, 1, 0).astype(jnp.int32)) == 1
 
 
+class LazyOutputs(dict):
+    """Solver-output dict whose rarely-read fields (z, s, diagnostic
+    scalars) stay ON DEVICE until first accessed.  Over the TPU tunnel
+    the lazy block is ~5x the eager block's bytes, and most callers
+    (throughput benchmarks, status filters, objective readers) never
+    touch it.  Lane merges from a rescue pass are recorded and applied
+    at materialization, so a rescue does not force the fetch."""
+
+    def __init__(self, eager: dict, lazy_keys, fetch):
+        super().__init__(eager)
+        self._lazy_keys = tuple(lazy_keys)
+        self._fetch = fetch
+        self._pending = []   # (take_idx, sel_idx, rescue_out)
+
+    def _materialize(self):
+        if self._fetch is not None:
+            rest = self._fetch()
+            self._fetch = None
+            self.update(rest)
+            for take, sel, rout in self._pending:
+                for k in self._lazy_keys:
+                    if k in rout:
+                        merged = np.array(dict.__getitem__(self, k))
+                        merged[take] = rout[k][sel]
+                        dict.__setitem__(self, k, merged)
+            self._pending = []
+
+    def __getitem__(self, k):
+        if not dict.__contains__(self, k) and k in self._lazy_keys:
+            self._materialize()
+        return dict.__getitem__(self, k)
+
+    def merge_lanes(self, take, sel, rout):
+        """Defer a rescue merge on the lazy fields (the caller merges
+        the eager fields directly)."""
+        if self._fetch is None:
+            for k in self._lazy_keys:
+                if k in rout and dict.__contains__(self, k):
+                    merged = np.array(dict.__getitem__(self, k))
+                    merged[np.asarray(take)] = rout[k][np.asarray(sel)]
+                    dict.__setitem__(self, k, merged)
+            return
+        self._pending.append((np.asarray(take), np.asarray(sel), rout))
+
+
 # ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
@@ -1640,34 +1685,49 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             interpret=interpret,
         )
 
-    def _solve_padded_py(P, q, A, b):
-        """f64 arrays with leading dim Bp (a multiple of 1024) or 1 —
-        leading-dim-1 inputs are batch-constant and broadcast on DEVICE,
-        so data shared across the batch (a common production shape: one
-        constraint structure, many right-hand sides) is transferred
-        over the host link once, not Bp times."""
-        Bp = max(P.shape[0], q.shape[0], A.shape[0], b.shape[0])
+    _TRIU = n * (n + 1) // 2
+    _DIMS = (_TRIU, n, n * m, m)   # transfer widths of P,q,A,b flats
+    # triu(col-major) -> full(col-major) gather map: P is symmetric, so
+    # only the upper triangle crosses the host link (28% of the input
+    # bytes for this n); tri(i,j) = j(j+1)/2 + i for i <= j
+    _P_GATHER = np.array(
+        [(j * (j + 1)) // 2 + i if i <= j else (i * (i + 1)) // 2 + j
+         for j in range(n) for i in range(n)], dtype=np.int32)
+
+    def _solve_padded_py(packed, sP, sq, sA, sb):
+        """One packed (Bp, sum-of-varying-widths) f64 array of the
+        per-lane-VARYING components' column-major flats, plus four
+        shared slots: (1, d) when that component is batch-constant
+        (transferred over the host link once and broadcast on device),
+        (0, d) when it varies (read from `packed`).  Bp is a multiple
+        of 1024.  One host->device transfer instead of four — the TPU
+        tunnel has a ~10-40 ms per-transfer latency floor
+        (docs/PERF.md)."""
+        Bp = packed.shape[0]
         G = Bp // BLOCK
 
-        def expand(arr):
-            if arr.shape[0] != Bp:
-                arr = jnp.broadcast_to(arr, (Bp,) + arr.shape[1:])
-            return arr
+        off = 0
 
-        P, q, A, b = expand(P), expand(q), expand(A), expand(b)
+        def take(shared, d):
+            nonlocal off
+            if shared.shape[0] == 0:
+                v = packed[:, off:off + d]
+                off += d
+                return v
+            return jnp.broadcast_to(shared, (Bp, d))
 
-        def to_blocks(arr, d):
-            hi, lo = split_f64(arr.reshape(Bp, d).T)
+        flats = [take(s, d) for s, d in zip((sP, sq, sA, sb), _DIMS)]
+        flats[0] = flats[0][:, _P_GATHER]   # triu -> full column-major
+
+        def to_blocks(flat, d):
+            hi, lo = split_f64(flat.T)
             return (hi.reshape(d, G * S8, L128),
                     lo.reshape(d, G * S8, L128))
 
-        # column-major flats: P[b, i, j] -> [j*n + i]
-        Pt = jnp.transpose(P, (0, 2, 1)).reshape(Bp, n * n)
-        At = jnp.transpose(A, (0, 2, 1)).reshape(Bp, n * m)
-        Phi, Plo = to_blocks(Pt, n * n)
-        qhi, qlo = to_blocks(q, n)
-        Ahi, Alo = to_blocks(At, n * m)
-        bhi, blo = to_blocks(b, m)
+        Phi, Plo = to_blocks(flats[0], n * n)
+        qhi, qlo = to_blocks(flats[1], n)
+        Ahi, Alo = to_blocks(flats[2], n * m)
+        bhi, blo = to_blocks(flats[3], m)
         args = (Phi, Plo, qhi, qlo, Ahi, Alo, bhi, blo)
         if use_pallas:
             # trace the pallas_call with x64 DISABLED: under x64 bare
@@ -1687,14 +1747,28 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             ohi = jnp.concatenate([o[0] for o in outs], axis=1)
             olo = jnp.concatenate([o[1] for o in outs], axis=1)
             oint = jnp.concatenate([o[2] for o in outs], axis=1)
-        # return ONE PACKED device array: the host unpacks after a
-        # single device_get.  Splitting into the per-field dict on
-        # device costs ~18 separate host<->device round trips at fetch
-        # time (measured 82 ms over the TPU tunnel vs ~25 ms packed —
-        # the tunnel has a 10-40 ms per-transfer latency floor).
-        vals = join_f64(ohi, olo).reshape(OUTD, Bp).T   # (Bp, OUTD)
-        ints = oint.reshape(2, Bp).T
-        return jnp.concatenate([vals, ints.astype(jnp.float64)], axis=1)
+        # return TWO packed device arrays unpacked host-side after one
+        # device_get each: "eager" carries what every caller reads
+        # (x, objective, status, iterations — ~64 B/lane), "rest" the
+        # rarely-read fields (z, s, diagnostic scalars — ~5x the
+        # bytes), fetched lazily on first access.  Per-field device
+        # dicts cost ~18 separate host<->device round trips at fetch
+        # time (measured 82 ms over the TPU tunnel; the tunnel has a
+        # 10-40 ms per-transfer latency floor and no transfer/compute
+        # overlap — docs/PERF.md).
+        # outputs stay in their NATURAL (row-major, lane-minor) device
+        # layout — a device-side transpose gives device_get a
+        # non-default layout whose fetch crawls over the tunnel
+        # (measured 140 ms vs ~25 ms for 1.2 MB); the host transposes
+        # for free after the fetch
+        valsT = join_f64(ohi, olo).reshape(OUTD, Bp)    # (OUTD, Bp)
+        intsT = oint.reshape(2, Bp)
+        k = n + 2 * m
+        eagerT = jnp.concatenate(
+            [valsT[:n], valsT[k:k + 1], intsT.astype(jnp.float64)],
+            axis=0)                                     # (n + 3, Bp)
+        restT = jnp.concatenate([valsT[n:k], valsT[k + 1:]], axis=0)
+        return eagerT, restT
 
     if use_pallas:
         _solve_padded = jax.jit(_solve_padded_py)
@@ -1707,38 +1781,42 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         # one computation, not the process.
         _aot_cache = {}
 
-        def _solve_padded(P, q, A, b):
-            key = (P.shape, q.shape, A.shape, b.shape)
+        def _solve_padded(*args):
+            key = tuple(a.shape for a in args)
             fn = _aot_cache.get(key)
             if fn is None:
                 fn = (jax.jit(_solve_padded_py)
-                      .lower(P, q, A, b)
+                      .lower(*args)
                       .compile({"xla_disable_hlo_passes": "fusion"}))
                 _aot_cache[key] = fn
-            return fn(P, q, A, b)
+            return fn(*args)
 
-    def unpack(allv):
-        """Host-side (numpy) unpack of the packed kernel output."""
-        allv = np.asarray(allv)
-        vals = allv[:, :OUTD]
-        ints = allv[:, OUTD:].astype(np.int64)
-        k = n + 2 * m
-        names = ["obj_val", "obj_val_dual", "r_prim", "r_dual",
-                 "gap_abs", "gap_rel", "mu", "step_length", "sigma",
-                 "ktratio", "tau", "kappa", "raw_status"]
-        out = {
-            "x": vals[:, :n],
-            "z": vals[:, n:n + m],
-            "s": vals[:, n + m:k],
-            "status": ints[:, 0],
-            "iterations": ints[:, 1],
+    _REST_NAMES = ["obj_val_dual", "r_prim", "r_dual", "gap_abs",
+                   "gap_rel", "mu", "step_length", "sigma", "ktratio",
+                   "tau", "kappa", "raw_status"]
+
+    def unpack_eager(e):
+        """Host-side unpack of the eager output block (x, obj, status,
+        iterations); the device array is (n+3, Bp) lane-minor."""
+        e = np.asarray(e).T
+        return {
+            "x": e[:, :n],
+            "obj_val": e[:, n],
+            "status": e[:, n + 1].astype(np.int64),
+            "iterations": e[:, n + 2].astype(np.int64),
         }
-        for i, nm in enumerate(names):
-            out[nm] = vals[:, k + i]
+
+    def unpack_rest(r):
+        """Host-side unpack of the lazily-fetched block (z, s,
+        diagnostic scalars); the device array is lane-minor."""
+        r = np.asarray(r).T
+        out = {"z": r[:, :m], "s": r[:, m:2 * m]}
+        for i, nm in enumerate(_REST_NAMES):
+            out[nm] = r[:, 2 * m + i]
         return out
 
     def _collapse(arr):
-        """(B, ...) -> (1, ...) when every batch entry is identical, so
+        """(B, d) -> (1, d) when every batch entry is identical, so
         batch-constant data crosses the host link once (the device side
         broadcasts).  The cheap arr[1] probe rejects varying batches
         before the full comparison."""
@@ -1747,45 +1825,67 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return arr[:1]
         return arr
 
-    # lanes per dispatch: chunking lets the runtime overlap the host
-    # link (H2D of chunk k+1, D2H of chunk k-1) with kernel compute of
-    # chunk k — the tunnel, not the kernel, bounds the wall clock
-    # (docs/PERF.md round 3)
-    CHUNK = 4 * BLOCK
+    # lanes per dispatch.  The tunnel serializes transfers with compute
+    # (measured: no overlap, docs/PERF.md), so fewer, larger dispatches
+    # win — each extra dispatch pays the per-transfer latency floor
+    # again.  16 blocks also bounds compile time of the gridded kernel.
+    CHUNK = 16 * BLOCK
 
-    def solve(P, q, A, b):
+    def prepare(P, q, A, b):
+        """Host-side numpy prep shared by solve() and benchmarks:
+        pad to a BLOCK multiple, build column-major flats, collapse
+        batch-constant components, pack the varying ones into ONE
+        array.  Returns (B, Bp, packed, shared4)."""
         P = np.asarray(P, np.float64)
         q = np.asarray(q, np.float64)
         A = np.asarray(A, np.float64)
         b = np.asarray(b, np.float64)
         B = q.shape[0]
         Bp = -(-B // BLOCK) * BLOCK
+        # tri(i,j) = j(j+1)/2 + i packing (column-major triu) to match
+        # the device-side _P_GATHER map
+        tri_i = np.concatenate([np.arange(j + 1) for j in range(n)])
+        tri_j = np.concatenate([np.full(j + 1, j) for j in range(n)])
+        flats = [
+            # triu of the (assumed-symmetric) P in tri(i,j)-packed order
+            np.ascontiguousarray(P[:, tri_i, tri_j]),
+            q.reshape(B, n),
+            np.ascontiguousarray(A.transpose(0, 2, 1)).reshape(B, n * m),
+            b.reshape(B, m),
+        ]
         if Bp != B:
-            pad = Bp - B
-            P = np.concatenate([P, np.repeat(P[:1], pad, 0)], 0)
-            q = np.concatenate([q, np.repeat(q[:1], pad, 0)], 0)
-            A = np.concatenate([A, np.repeat(A[:1], pad, 0)], 0)
-            b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
-        args = [_collapse(a) for a in (P, q, A, b)]
-        if Bp <= CHUNK:
-            outs = [_solve_padded(*args)]
-        else:
-            # issue every chunk before fetching any result: JAX async
-            # dispatch queues the programs, and chunk k's H2D/compute
-            # overlaps chunk k-1's D2H
-            outs = []
-            for c0 in range(0, Bp, CHUNK):
-                cargs = [a if a.shape[0] == 1 else a[c0:c0 + CHUNK]
-                         for a in args]
-                outs.append(_solve_padded(*cargs))
-        outs = jax.device_get(outs)
-        out = unpack(np.concatenate(outs, axis=0) if len(outs) > 1
-                     else outs[0])
-        if Bp != B:
-            out = {k: v[:B] for k, v in out.items()}
-        return out
+            flats = [np.concatenate([f, np.repeat(f[:1], Bp - B, 0)], 0)
+                     for f in flats]
+        comps = [_collapse(f) for f in flats]
+        shared = [c if c.shape[0] == 1 else np.zeros((0, c.shape[1]))
+                  for c in comps]
+        varying = [c for c in comps if c.shape[0] != 1]
+        packed = (np.concatenate(varying, axis=1) if varying
+                  else np.zeros((Bp, 0)))
+        return B, Bp, packed, shared
 
-    solve.unpack = unpack
+    def solve(P, q, A, b):
+        B, Bp, packed, shared = prepare(P, q, A, b)
+        if Bp <= CHUNK:
+            outs = [_solve_padded(packed, *shared)]
+        else:
+            outs = [_solve_padded(packed[c0:c0 + CHUNK], *shared)
+                    for c0 in range(0, Bp, CHUNK)]
+        eag = jax.device_get([o[0] for o in outs])
+        eag = np.concatenate(eag, 1) if len(eag) > 1 else eag[0]
+        rest_dev = [o[1] for o in outs]
+
+        def fetch_rest():
+            r = jax.device_get(rest_dev)
+            r = np.concatenate(r, 1) if len(r) > 1 else r[0]
+            return {k: v[:B] for k, v in unpack_rest(r).items()}
+
+        eager = {k: v[:B] for k, v in unpack_eager(eag).items()}
+        return LazyOutputs(eager, _REST_NAMES + ["z", "s"], fetch_rest)
+
+    solve.unpack_eager = unpack_eager
+    solve.unpack_rest = unpack_rest
+    solve.prepare = prepare
 
     solve.compute = compute          # one-block pure function (tests)
     solve.solve_padded = _solve_padded

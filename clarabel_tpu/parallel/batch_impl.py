@@ -21,17 +21,36 @@ from ..cones.layout import ConeLayout
 from ..ipm.loop import build_solve
 
 
-@dataclasses.dataclass
 class BatchSolution:
-    x: np.ndarray          # (B, n)
-    z: np.ndarray          # (B, m)
-    s: np.ndarray          # (B, m)
-    status: np.ndarray     # (B,) int
-    obj_val: np.ndarray    # (B,)
-    iterations: np.ndarray  # (B,)
-    r_prim: np.ndarray
-    r_dual: np.ndarray
-    solve_time: float
+    """Batched solve result.  x/status/obj_val/iterations are eager
+    numpy; z/s/r_prim/r_dual may be LAZY (megakernel backend): they stay
+    on device until first accessed, because over the TPU tunnel they
+    are ~5x the eager fields' bytes and most callers never read them
+    (ipm/megakernel.LazyOutputs)."""
+
+    def __init__(self, out, solve_time: float):
+        self._out = out
+        self.x = np.asarray(out["x"])
+        self.status = np.asarray(out["status"])
+        self.obj_val = np.asarray(out["obj_val"])
+        self.iterations = np.asarray(out["iterations"])
+        self.solve_time = solve_time
+
+    @property
+    def z(self) -> np.ndarray:
+        return np.asarray(self._out["z"])
+
+    @property
+    def s(self) -> np.ndarray:
+        return np.asarray(self._out["s"])
+
+    @property
+    def r_prim(self) -> np.ndarray:
+        return np.asarray(self._out["r_prim"])
+
+    @property
+    def r_dual(self) -> np.ndarray:
+        return np.asarray(self._out["r_dual"])
 
     @property
     def all_solved(self) -> bool:
@@ -169,12 +188,16 @@ class BatchSolver:
         take = idx[fixed]
         if len(take):
             sel = np.nonzero(fixed)[0]
-            for k in out:
+            for k in list(out.keys()):
                 if k not in rout:
                     continue  # backend-specific extras (e.g. raw_status)
                 merged = np.array(out[k])  # device_get buffers are read-only
                 merged[take] = rout[k][sel]
                 out[k] = merged
+            if hasattr(out, "merge_lanes"):
+                # megakernel LazyOutputs: z/s/diagnostics merge at
+                # materialization, so the rescue does not force a fetch
+                out.merge_lanes(take, sel, rout)
         return out
 
     def solve(self, P, q, A, b) -> BatchSolution:
@@ -193,9 +216,9 @@ class BatchSolver:
         import jax
 
         if self._mega_fn is not None:
-            # one batched device_get: per-array fetches each pay a full
-            # host<->device round trip (catastrophic over a TPU tunnel)
-            out = jax.device_get(self._mega_fn(P, q, A, b))
+            # LazyOutputs: eager fields already fetched (one packed
+            # transfer); z/s/diagnostics stay on device until read
+            out = self._mega_fn(P, q, A, b)
         elif self._batch_minor:
             out = self._solve_fn(
                 P.transpose(1, 2, 0), q.T, A.transpose(1, 2, 0), b.T
@@ -210,10 +233,4 @@ class BatchSolver:
         if self._rescue_fn is not None:
             out = self._rescue_pass(out, P, q, A, b)
         dt = time.perf_counter() - t0
-        return BatchSolution(
-            x=out["x"], z=out["z"], s=out["s"],
-            status=out["status"], obj_val=out["obj_val"],
-            iterations=out["iterations"],
-            r_prim=out["r_prim"], r_dual=out["r_dual"],
-            solve_time=dt,
-        )
+        return BatchSolution(out, dt)

@@ -114,15 +114,35 @@ def analyze_nested_dissection(P_mask, A_mask, layout,
     structure exists."""
     from .native_symbolic import available as _native_available
 
+    # race bisector modes AND tree depths.  The old fixed ~384-row-leaf
+    # depth heuristic left large fill on the table: on a 30x30 grid KKT
+    # it picked depth 3 (4.3x the minimum-degree fill, 7.5e7 padded
+    # front flops) where depth 6 reaches 0.93x MMD fill and 6.4e6 flops
+    # (benchmarks/ordering_quality.py; docs/ORDERING.md).  Each plan is
+    # scored by padded-front flops plus a small per-level charge for the
+    # extra level-synchronous stages deeper trees execute.
+    LEVEL_COST_FLOPS = 2.0e5
+
+    def score(p: NestedPlan) -> float:
+        return p.flop_estimate() + LEVEL_COST_FLOPS * len(p.levels)
+
     best = None
     modes = (False, True) if _native_available() else (False,)
+    if depth is not None:
+        depths = (depth,)
+    else:
+        depths = (None, "auto+1", "auto+2", "auto+3")
+        # near-1D patterns (chains/bands) keep gaining from depth well
+        # past the grid sweet spot and the symbolic cost stays small
+        depths += ("auto+4", "auto+5")
     for multilevel in modes:
-        plan = _analyze_nd_once(P_mask, A_mask, layout, depth, min_block,
-                                max_bnd_frac, multilevel)
-        if plan is not None and (
-            best is None or plan.flop_estimate() < best.flop_estimate()
-        ):
-            best = plan
+        for d in depths:
+            plan = _analyze_nd_once(P_mask, A_mask, layout, d, min_block,
+                                    max_bnd_frac, multilevel)
+            if plan is not None and (
+                best is None or score(plan) < score(best)
+            ):
+                best = plan
     return best
 
 
@@ -141,11 +161,15 @@ def _analyze_nd_once(P_mask, A_mask, layout, depth, min_block,
     weights = [len(r) for r in node_rows]
     nq = len(adj)
 
-    if depth is None:
-        # leaves of ~256-512 KKT rows; at least 2 levels to be "nested"
+    if depth is None or isinstance(depth, str):
+        # base heuristic: leaves of ~256-512 KKT rows, at least 2
+        # levels to be "nested"; "auto+k" deepens by k (the caller
+        # races depths by flop estimate — deeper trees trade batched
+        # front size for much lower fill, benchmarks/ordering_quality)
         target_leaf_rows = 384
+        extra = int(depth[5:]) if isinstance(depth, str) else 0
         depth = int(np.ceil(np.log2(max(2.0, N / target_leaf_rows))))
-        depth = int(np.clip(depth, 2, 8))
+        depth = int(np.clip(depth + extra, 2, 10))
 
     # ---- recursive bisection into a perfect binary tree -----------------
     # tree arrays indexed by heap order: node 0 = root, children 2t+1/2t+2
