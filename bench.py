@@ -136,6 +136,40 @@ def main():
         if r_big["solves_per_sec"] > best["solves_per_sec"]:
             best = r_big
 
+    # batched equality-constrained QP through the fused kernel (zero +
+    # nonnegative cones — round-3 megakernel eligibility extension; the
+    # most common QP shape, reference src/cones/cone_api.jl:18-54)
+    qp_eq = None
+    if mode == "mega":
+        from clarabel_tpu import ZeroConeT
+
+        rng = np.random.default_rng(1)
+        Bq = BATCH
+        Fq = rng.standard_normal((Bq, N, N)) / np.sqrt(N)
+        Pq = np.einsum("bij,bkj->bik", Fq, Fq) + 0.5 * np.eye(N)
+        qq = rng.standard_normal((Bq, N))
+        Aq = np.zeros((Bq, N + 2, N))
+        Aq[:, 0, :] = 1.0                       # sum x = 1 (zero cone)
+        Aq[:, 1:N + 1] = np.eye(N)              # x <= ub
+        Aq[:, N + 1] = -1.0                     # -sum x <= 0.5
+        bq = np.concatenate(
+            [np.ones((Bq, 1)), rng.uniform(0.5, 1.5, (Bq, N)),
+             np.full((Bq, 1), 0.5)], axis=1)
+        qp_cones = [ZeroConeT(1), NonnegativeConeT(N + 1)]
+        bq_s = BatchSolver(qp_cones, N, settings, rescue="cpu")
+        bq_s.solve(Pq, qq, Aq, bq)  # warm
+        t0 = time.perf_counter()
+        oq = bq_s.solve(Pq, qq, Aq, bq)
+        dtq = time.perf_counter() - t0
+        qp_eq = {
+            "batch": Bq,
+            "solves_per_sec": round(
+                int(np.sum(oq.status == int(SolverStatus.SOLVED))) / dtq,
+                1),
+            "solved": int(np.sum(oq.status == int(SolverStatus.SOLVED))),
+            "wall_s": round(dtq, 3),
+        }
+
     # device-resident kernel rate (no tunnel, no rescue): the deployment
     # number for hosts with a local PCIe link
     kernel_rate = None
@@ -172,6 +206,7 @@ def main():
         "wall_s": best["wall_s"],
         "mean_iters": best["mean_iters"],
         "b_scaling": results,
+        "qp_eq_zero_cone": qp_eq,
         "kernel_solves_per_sec": kernel_rate,
         "baseline_solves_per_sec": base_rate,
         "baseline_measured_cpu_1core": (

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..cones.api import NonnegativeConeT, SecondOrderConeT
+from ..cones.api import (NonnegativeConeT, SecondOrderConeT,
+                         ZeroConeT)
 from ..cones.layout import ConeLayout
 from ..statuscodes import SolverStatus
 from ..linalg.df64 import DF, df, split_f64, join_f64
@@ -130,10 +131,13 @@ def eligible(layout: ConeLayout, settings, n: int) -> bool:
     if _vmem_estimate_bytes(n, m) > 12 * 1024 * 1024:
         return False
     for c in layout.cones:
-        if not isinstance(c, (NonnegativeConeT, SecondOrderConeT)):
+        if not isinstance(c, (ZeroConeT, NonnegativeConeT,
+                              SecondOrderConeT)):
             return False
         if isinstance(c, SecondOrderConeT) and c.dim < 2:
             return False
+    if layout.degree < 1:
+        return False   # pure-equality problems: no barrier to follow
     return True
 
 
@@ -456,6 +460,13 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     degree = layout.degree
     st = settings
     two_phase = bool(getattr(st, "megakernel_two_phase", True))
+    has_zero = any(isinstance(c, ZeroConeT) for c in layout.cones)
+    if has_zero:
+        # zero-cone rows enter the condensed system as 1/eps ~ 1e8
+        # (mirroring kkt/condensed.py + cones/ops.mul_Hs_inv): the
+        # squared conditioning is fine for double-float refinement but
+        # diverges at f32, so the f32 phase is disabled
+        two_phase = False
     switch_mu = np.float32(getattr(st, "megakernel_switch_mu", 1e-4))
     p1_cap = int(min(_P1_CAP, st.max_iter))
     refine_df = (0 if not st.iterative_refinement_enable
@@ -467,7 +478,12 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # static cone segments (contiguous by ConeLayout construction)
     segs: List[Tuple[str, int, int]] = []
     for cone, (lo, hi) in zip(layout.cones, layout.ranges):
-        kind = "nn" if isinstance(cone, NonnegativeConeT) else "soc"
+        if isinstance(cone, ZeroConeT):
+            kind = "zero"
+        elif isinstance(cone, NonnegativeConeT):
+            kind = "nn"
+        else:
+            kind = "soc"
         segs.append((kind, lo, hi))
 
     # ---------------- precision-generic subroutines ----------------
@@ -500,6 +516,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             state = []
             for kind, lo, hi in segs:
                 sg, zg = s[lo:hi], z[lo:hi]
+                if kind == "zero":
+                    state.append({"kind": "zero"})
+                    continue
                 if kind == "nn":
                     prod = sg * zg
                     ok = jnp.logical_and(ok, _fall0(prod.hi > 0))
@@ -563,10 +582,13 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         def hs_diag_hi(state):
             """f32 Hs diagonal (for the static regularization scale)."""
             parts = []
-            for stg in state:
+            for stg, (kind, lo, hi) in zip(state, segs):
                 if stg is None:
                     continue
-                if stg["kind"] == "nn":
+                if kind == "zero":
+                    parts.append(jnp.zeros((hi - lo, S8, L128),
+                                           jnp.float32))
+                elif stg["kind"] == "nn":
                     parts.append(stg["w2"].hi)
                 else:
                     w, eta2 = stg["w"], stg["eta2"]
@@ -576,17 +598,23 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     parts.append(jnp.concatenate([head, tail], axis=0))
             return jnp.concatenate(parts, axis=0)
 
-        def hinv_apply(state, v):
+        def hinv_apply(state, v, eps):
             """Hs^{-1} v with closed-form per-cone inverses (mirrors
-            cones/ops.py mul_Hs_inv; no zero cones here).  state None =
-            identity scaling."""
-            if state is None:
-                return v
+            cones/ops.py mul_Hs_inv, including its 1/eps convention for
+            zero-cone rows — their Hs block is 0 and the static
+            regularization is the only diagonal, exactly the
+            reference's assembled KKT for zero cones).  state None =
+            identity scaling (initial point)."""
             out = []
-            for stg, (kind, vg) in zip(state, seg_slices(v)):
-                if kind == "nn":
-                    out.append(vg * stg["winv2"])
+            for i, (kind, vg) in enumerate(seg_slices(v)):
+                if kind == "zero":
+                    out.append(vg * ar.recip(eps))
+                elif state is None:
+                    out.append(vg)
+                elif kind == "nn":
+                    out.append(vg * state[i]["winv2"])
                 else:
+                    stg = state[i]
                     wbar = stg["wbar"]
                     ccoef = _vsum0(wbar * vg) * 2.0
                     base = _vcat([_vstack([-vg[0]]), vg[1:]])  # -J v
@@ -594,14 +622,18 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return _vcat(out)
 
         def hs_apply(state, v):
-            """Hs v (mirrors cones/ops.py mul_Hs)."""
-            if state is None:
-                return v
+            """Hs v (mirrors cones/ops.py mul_Hs; zero-cone block is 0
+            in the TRUE operator, so refinement drives Ax -> b exactly)."""
             out = []
-            for stg, (kind, vg) in zip(state, seg_slices(v)):
-                if kind == "nn":
-                    out.append(vg * stg["w2"])
+            for i, (kind, vg) in enumerate(seg_slices(v)):
+                if kind == "zero":
+                    out.append(ar.zeros(vg.hi.shape))
+                elif state is None:
+                    out.append(vg)
+                elif kind == "nn":
+                    out.append(vg * state[i]["w2"])
                 else:
+                    stg = state[i]
                     w = stg["w"]
                     c = _vsum0(w * vg) * 2.0
                     base = _vcat([_vstack([-vg[0]]), vg[1:]])
@@ -656,7 +688,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             """Condensed normal-equations factor at the given scaling
             state (mirrors kkt/condensed.py assemble_and_factor_condensed)
             plus the true augmented-KKT operator for refinement."""
-            HinvA = [hinv_apply(state, c) for c in Acols]
+            HinvA = [hinv_apply(state, c, eps) for c in Acols]
             Scols = []
             for j in range(n):
                 col = rmv(Acols, HinvA[j])
@@ -680,10 +712,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             Lm, Linvd, okc = chol_factor(Scols2)
 
             def apply_once(bx, bz):
-                hb = hinv_apply(state, bz)
+                hb = hinv_apply(state, bz, eps)
                 w = [bx[j] + _vdot0(Acols[j], hb) for j in range(n)]
                 xs = chol_solve(Lm, Linvd, w)
-                zs = hinv_apply(state, mv(Acols, xs) - bz)
+                zs = hinv_apply(state, mv(Acols, xs) - bz, eps)
                 return xs, zs
 
             def kkt_mv(xs, zs):
@@ -855,6 +887,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             pm = jnp.zeros((S8, L128), jnp.float32)
             for kind, lo, hi in segs:
                 vg = vhi[lo:hi]
+                if kind == "zero":
+                    continue
                 if kind == "nn":
                     mm = jnp.minimum(mm, _fmin0(vg))
                     pm = pm + _fsum0(jnp.maximum(vg, 0.0))
@@ -864,8 +898,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     pm = pm + jnp.maximum(a, 0.0)
             return mm, pm
 
-        def shift_to_interior(v):
-            """reference: src/variables.jl:180-208 (both shifts merged)."""
+        def shift_to_interior(v, pd):
+            """reference: src/variables.jl:180-208 (both shifts merged;
+            zero cones: the primal slack projects to 0, the dual is
+            free — cones/ops.scaled_unit_shift semantics)."""
             mm, pm = margins_f32(v.hi)
             mm = jnp.where(jnp.isfinite(mm), mm, -1.0)
             pm = jnp.where(jnp.isfinite(pm), pm, 0.0)
@@ -879,7 +915,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             # constants (Pallas kernels cannot capture them)
             parts = []
             for kind, vg in seg_slices(v):
-                if kind == "nn":
+                if kind == "zero":
+                    parts.append(ar.zeros(vg.hi.shape)
+                                 if pd == "primal" else vg)
+                elif kind == "nn":
                     parts.append(vg + ar.lift(amt))
                 else:
                     parts.append(_vcat([_vstack([vg[0] + ar.lift(amt)]),
@@ -929,6 +968,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             """reference: src/variables.jl:14-43 + per-cone steps."""
             alpha = amax
             for kind, lo, hi in segs:
+                if kind == "zero":
+                    continue
                 dzg, dsg = dz.hi[lo:hi], ds.hi[lo:hi]
                 zg, sg = z.hi[lo:hi], s.hi[lo:hi]
                 if kind == "nn":
@@ -953,6 +994,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             """ds = lambda o lambda (coneops_compositecone.jl:153)."""
             out = []
             for stg, (kind, sg) in zip(state, seg_slices(s)):
+                if kind == "zero":
+                    out.append(ar.zeros(sg.hi.shape))
+                    continue
                 lam = stg["lam"]
                 if kind == "nn":
                     out.append(lam * lam)
@@ -967,6 +1011,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             coneops_symmetric_common.jl:2-35)."""
             out = []
             for stg, (kind, lo, hi) in zip(state, segs):
+                if kind == "zero":
+                    out.append(ar.zeros((hi - lo, S8, L128)))
+                    continue
                 dzg, dsg = dz_mc[lo:hi], ds[lo:hi]
                 if kind == "nn":
                     out.append(dzg * dsg - sigma_mu)
@@ -998,6 +1045,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             coneops_socone.jl:241-268, coneops_compositecone.jl:185-202)."""
             out = []
             for stg, (kind, lo, hi) in zip(state, segs):
+                if kind == "zero":
+                    out.append(ar.zeros((hi - lo, S8, L128)))
+                    continue
                 dsg, zg = dsv[lo:hi], z[lo:hi]
                 if kind == "nn":
                     out.append(dsg / zg)
@@ -1290,7 +1340,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             e_parts = []
             for kind, lo, hi in segs:
                 eg = e_f[lo:hi]
-                if kind == "nn":
+                if kind in ("nn", "zero"):
                     e_parts.append(eg)
                 else:
                     mean = jnp.mean(eg, axis=0)
@@ -1355,8 +1405,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             x0, ms = sols[0]
             s0 = -ms
             z0 = sols[1][1]
-        s0 = ops64.shift_to_interior(s0)
-        z0 = ops64.shift_to_interior(z0)
+        s0 = ops64.shift_to_interior(s0, "primal")
+        z0 = ops64.shift_to_interior(z0, "dual")
         one = DF(jnp.ones((S8, L128), jnp.float32))
         tau0 = one
         kappa0 = one

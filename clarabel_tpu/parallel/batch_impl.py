@@ -115,8 +115,8 @@ class BatchSolver:
             if not megakernel.eligible(self.layout, self.settings, n):
                 raise ValueError(
                     "kkt_backend='megakernel' requires a small dense "
-                    "nn/soc-only layout at float64 (see "
-                    "ipm.megakernel.eligible)"
+                    "zero/nn/soc layout at float64 with at least one "
+                    "barrier cone (see ipm.megakernel.eligible)"
                 )
             self._mega_fn = megakernel.build_mega_solve(
                 self.layout, self.settings, n, p_nonzero=p_nonzero,

@@ -132,3 +132,43 @@ def test_lp_batch():
     assert solved.sum() >= B - 2
     for i in np.nonzero(solved)[0]:
         assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6
+
+
+def test_zero_cone_batch_matches_loop():
+    """VERDICT r2 #2: batched equality-constrained QPs (zero cones) run
+    through the fused kernel and match the XLA loop.  Zero-cone rows
+    enter the condensed system via the 1/eps convention of
+    cones/ops.mul_Hs_inv; the true-KKT refinement operator keeps their
+    block exact (ipm/megakernel.py hinv_apply/hs_apply)."""
+    from clarabel_tpu import ZeroConeT
+
+    B = 8
+    n = 3
+    cones = [ZeroConeT(1), NonnegativeConeT(2), SecondOrderConeT(3)]
+    rng = np.random.default_rng(11)
+    F = rng.standard_normal((B, n, n))
+    P = np.einsum("bij,bkj->bik", F, F) + np.eye(n)
+    q = rng.standard_normal((B, n))
+    A = np.zeros((B, 6, n))
+    b = np.zeros((B, 6))
+    A[:, 0, :] = 1.0                      # sum x = 1   (zero cone)
+    b[:, 0] = 1.0
+    A[:, 1:3, :2] = np.eye(2)             # x0, x1 <= ub (nn)
+    b[:, 1:3] = rng.uniform(0.5, 1.5, (B, 2))
+    A[:, 4:6, 1:3] = -np.eye(2)           # soc tail: x - c
+    b[:, 3] = rng.uniform(1.0, 2.0, B)    # soc head: radius
+    b[:, 4:6] = -rng.standard_normal((B, 2)) * 0.2
+
+    mega = BatchSolver(cones, n, Settings(kkt_backend="megakernel"))
+    out = mega.solve(P, q, A, b)
+    ref = BatchSolver(cones, n, Settings(kkt_backend="condensed")).solve(
+        P, q, A, b)
+
+    solved = out.status == int(SolverStatus.SOLVED)
+    assert solved.sum() >= B - 2, out.status
+    for i in np.nonzero(solved & (ref.status == 1))[0]:
+        assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6
+        np.testing.assert_allclose(out.x[i], ref.x[i], atol=1e-6)
+        # the equality row holds exactly-ish and its slack is 0
+        assert abs(A[i, 0] @ out.x[i] - b[i, 0]) < 1e-8
+        assert abs(out.s[i][0]) < 1e-10
