@@ -490,9 +490,13 @@ class Solver:
                 g.kind == "soc" and g.width >= SOC_RANK2_MIN_DIM
                 for g in self.layout.groups.values()
             )
-            tall = (((m >= 3 * n and m >= 500) or big_soc) and not any(
-                g.kind == "zero" for g in self.layout.groups.values()
-            ))
+            # zero cones no longer gate condensed: equality rows enter
+            # the normal equations through mul_Hs_inv's 1/eps diagonal
+            # with refinement against the true KKT (same convention the
+            # fused megakernel uses); measured exact-match solutions on
+            # the cvxqp/aug2d classes and 1.8x over dense LDL on TPU
+            # (round 3)
+            tall = (m >= 2.5 * n and m >= 250) or big_soc
             cond_flops = (2.0 * m * n * n + n ** 3 / 3.0) if tall \
                 else float("inf")
             if st_flops <= min(0.5 * dense_flops, cond_flops):
@@ -554,7 +558,12 @@ class Solver:
             out = self._solve_timed(args)
         else:
             out = self._solve_fn(*args)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # ONE batched fetch: per-field np.asarray pays a full
+        # host<->device round trip each (~2-20 ms over the TPU tunnel
+        # x ~18 fields; measured 439 ms total on a 0-iteration solve)
+        import jax
+
+        out = jax.device_get(out)
         solve_time = time.perf_counter() - t0
         if self._first_solve_time is None:
             self._first_solve_time = solve_time
@@ -637,7 +646,9 @@ class Solver:
         """Serialize the most recent IPM state (from a chunked solve)."""
         if getattr(self, "_last_carry", None) is None:
             raise RuntimeError("no IPM state available; run a chunked solve")
-        arrs = {f: np.asarray(v) for f, v in self._last_carry._asdict().items()}
+        import jax
+
+        arrs = jax.device_get(self._last_carry._asdict())
         np.savez(path, **arrs)
 
     def resume_from_checkpoint(self, path: str) -> DefaultSolution:
@@ -648,7 +659,12 @@ class Solver:
             carry = Carry(**{k: f[k] for k in f.files})
         t0 = time.perf_counter()
         out = self._solve_chunked(t0, carry=carry)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # ONE batched fetch: per-field np.asarray pays a full
+        # host<->device round trip each (~2-20 ms over the TPU tunnel
+        # x ~18 fields; measured 439 ms total on a 0-iteration solve)
+        import jax
+
+        out = jax.device_get(out)
         return self._package_solution(out, time.perf_counter() - t0)
 
     def get_solution(self) -> Optional[DefaultSolution]:

@@ -257,6 +257,18 @@ def build_solve(layout: ConeLayout, settings, n: int, p_nonzero: bool,
                 and jax.default_backend() not in ("cpu",)):
             fd = "float32"
         settings = settings.replace(factor_dtype=fd)
+    if settings.dense_ldl_diag_order is None:
+        # auto: descending-|diag| elimination order for the dense LDL —
+        # only for zero/nn/soc layouts.  Nonsymmetric-cone Hs blocks
+        # (exp/pow/genpow BFGS-class Hessians) and PSD skron blocks have
+        # dominant off-diagonals, where diagonal magnitude is a poor
+        # pivoting guide (measured: an exp-cone CBF instance degrades
+        # from SOLVED/7e-10 to ALMOST/4e-8 under diag order).  SOC Hs is
+        # eta^2(2ww'-J): diagonally dominant enough, and the big-SOC
+        # P=0 class is exactly what the reorder fixes (kkt/dense.py).
+        safe = all(g.kind in ("zero", "nn", "soc")
+                   for g in layout.groups.values())
+        settings = settings.replace(dense_ldl_diag_order=safe)
     scaling0 = PRIMAL_DUAL if allows_pd else DUAL
     is_symmetric = layout.is_symmetric
     eps_T = float(np.finfo(dtype).eps)

@@ -125,7 +125,11 @@ def assemble_and_factor(P, A, Hs, signs, settings, factor_dtype=None):
     # Dsigns.
     diag_order = getattr(settings, "dense_ldl_diag_order", None)
     if diag_order is None:
-        diag_order = not use_pallas
+        # un-resolved auto (caller outside build_solve): conservative off
+        diag_order = False
+    if use_pallas:
+        # the lane-batched Pallas factor specializes on static Dsigns
+        diag_order = False
     if diag_order:
         perm = jnp.argsort(-jnp.abs(jnp.diagonal(K_reg)))
         iperm = jnp.argsort(perm)

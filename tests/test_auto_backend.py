@@ -46,9 +46,11 @@ def test_small_problem_picks_ldl():
     assert s._backend == "ldl"
 
 
-def test_zero_cones_block_condensed():
-    """Equality rows have Hs = 0; condensed is gated off for them even on
-    tall problems."""
+def test_zero_cones_allowed_on_condensed():
+    """Round 3: equality rows enter the condensed normal equations via
+    the 1/eps convention (kkt/condensed.py + cones/ops.mul_Hs_inv), so
+    tall zero-cone problems pick condensed AND solve to full accuracy
+    (previously gated off; measured exact agreement with dense LDL)."""
     rng = np.random.default_rng(1)
     n, m_eq = 100, 30
     P = np.eye(n)
@@ -60,7 +62,10 @@ def test_zero_cones_block_condensed():
     b = np.concatenate([beq] + [10.0 * np.ones(n)] * 6)
     cones = [ZeroConeT(m_eq), NonnegativeConeT(6 * n)]
     s = Solver(P, q, A, b, cones, Settings())
-    assert s._backend != "condensed"
+    assert s._backend == "condensed"
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.linalg.norm(Aeq @ sol.x - beq) < 1e-8
 
 
 def test_structured_problem_keeps_structure():
