@@ -92,14 +92,23 @@ class BatchSolver:
         self._rescue_fn = None
         self._rescue_device = None
 
-        # batched workloads: "auto" resolves to the condensed backend —
-        # measured fastest for vmapped small instances (few large batched
-        # ops instead of per-column elimination kernels)
+        # batched workloads: "auto" resolves to the fused megakernel on
+        # TPU when the layout is eligible (measured ~14x the vmapped XLA
+        # loop at identical 1e-8 accuracy, round 3), else to the
+        # condensed backend — fastest XLA path for vmapped small
+        # instances (few large batched ops instead of per-column
+        # elimination kernels)
         backend = self.settings.kkt_backend
-        if backend == "auto" and not any(
-            g.kind == "zero" for g in self.layout.groups.values()
-        ):
-            backend = "condensed"
+        if backend == "auto":
+            from ..ipm import megakernel as _mk
+
+            if (mesh is None
+                    and jax.default_backend() not in ("cpu",)
+                    and _mk.eligible(self.layout, self.settings, n)):
+                backend = "megakernel"
+            elif not any(g.kind == "zero"
+                         for g in self.layout.groups.values()):
+                backend = "condensed"
 
         # "megakernel": the whole batched solve as ONE Pallas kernel per
         # 1024-lane block (ipm/megakernel.py) — eliminates the per-op
