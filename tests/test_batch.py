@@ -149,3 +149,18 @@ def test_batch_rescue_pass():
     bs2 = BatchSolver(cones, n, rescue="cpu")
     out2 = bs2.solve(P, q, A, b)
     assert out2.all_solved
+
+
+def test_auto_backend_routing_cpu():
+    """BatchSolver auto resolves to the fused megakernel only on TPU
+    sessions; CPU sessions (this suite) keep the condensed XLA path —
+    the kernel's CPU execution is the AOT correctness path, not a
+    speed path (parallel/batch_impl.py round 3)."""
+    from clarabel_tpu.parallel.batch_impl import BatchSolver as BS
+    from clarabel_tpu import NonnegativeConeT, SecondOrderConeT, Settings
+
+    bs = BS([NonnegativeConeT(2), SecondOrderConeT(2)], 2, Settings())
+    assert bs._mega_fn is None  # cpu: auto != megakernel
+    bs2 = BS([NonnegativeConeT(2), SecondOrderConeT(2)], 2,
+             Settings(kkt_backend="megakernel"))
+    assert bs2._mega_fn is not None  # explicit request always honored
