@@ -73,7 +73,8 @@ class ConeLayout:
     """
 
     def __init__(self, cones: Sequence[SupportedCone],
-                 soc_bucketing: Optional[bool] = None):
+                 soc_bucketing: Optional[bool] = None,
+                 psd_bucketing: Optional[bool] = None):
         self.cones: Tuple[SupportedCone, ...] = tuple(cones)
         self.m = int(sum(nvars(c) for c in self.cones))
         self.degree = int(sum(cone_degree(c) for c in self.cones))
@@ -151,8 +152,41 @@ class ConeLayout:
                 self.groups[f"soc{dim}"] = ConeGroup(
                     "soc", np.stack(soc_by_dim[dim])
                 )
-        for n in sorted(psd_by_n):
-            self.groups[f"psd{n}"] = ConeGroup("psd", np.stack(psd_by_n[n]), psd_n=n)
+        # PSD clique-size bucketing: a chordal decomposition emits
+        # cliques of DOZENS of distinct sizes, and each exact-size group
+        # compiles and dispatches its own chain of gathers/chols/eigs
+        # per IPM iteration — measured as the dominant while-loop SELF
+        # time on the max-cut nv=500 BASELINE config (docs/PERF.md).
+        # Pad cones to a handful of bucket sides chosen by a DP that
+        # minimizes total padded O(side³) work; a cone of side k sits in
+        # the leading k×k block of the bucket-side matrix and the pad
+        # block is pinned to the identity inside every factorization
+        # (exact: blkdiag(S, I) — see cones/psd.py pad handling).
+        if psd_bucketing is None:
+            psd_bucketing = len(psd_by_n) > 4
+        if psd_bucketing and psd_by_n:
+            for bside, sizes in _psd_buckets(psd_by_n).items():
+                entries = [(r, k) for k in sizes for r in psd_by_n[k]]
+                tb = bside * (bside + 1) // 2
+                idx = np.full((len(entries), tb), self.m, dtype=np.int32)
+                tdims = np.zeros(len(entries), dtype=np.int32)
+                emb_cache: Dict[int, np.ndarray] = {}
+                for i, (r, k) in enumerate(entries):
+                    emb = emb_cache.get(k)
+                    if emb is None:
+                        emb = _psd_embed_positions(k, bside)
+                        emb_cache[k] = emb
+                    idx[i, emb[:, 0]] = r[emb[:, 1]]
+                    tdims[i] = k * (k + 1) // 2
+                exact = bool(np.all(tdims == tb))
+                self.groups[f"psd{bside}b"] = ConeGroup(
+                    "psd", idx, psd_n=bside,
+                    true_dims=None if exact else tdims,
+                )
+        else:
+            for n in sorted(psd_by_n):
+                self.groups[f"psd{n}"] = ConeGroup(
+                    "psd", np.stack(psd_by_n[n]), psd_n=n)
         if exp_idx:
             self.groups["exp"] = ConeGroup("exp", np.stack(exp_idx))
         if pow_idx:
@@ -208,6 +242,65 @@ class ConeLayout:
 # ---------------------------------------------------------------------------
 # static index helpers: slice instead of gather for contiguous groups
 # ---------------------------------------------------------------------------
+
+def _psd_embed_positions(k: int, N: int) -> np.ndarray:
+    """(t_k, 2) int array mapping a side-k cone's svec entries into the
+    side-N bucket triangle: column p holds (bucket_pos, cone_pos) pairs.
+    Both triangles use column-major triu ordering (psd._tri_indices), and
+    the cone occupies the LEADING k×k block, so bucket position
+    col(col+1)/2 + row maps to the identical cone position for col < k;
+    every other bucket position stays at the pad sentinel."""
+    out = []
+    for col in range(k):
+        base = (col * (col + 1)) // 2
+        for row in range(col + 1):
+            out.append((base + row, base + row))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _psd_buckets(psd_by_n, max_buckets: int = 4):
+    """Partition the distinct PSD sides into <= max_buckets contiguous
+    segments (bucket side = segment max) minimizing total padded
+    O(side³) factorization work, by a standard 1-D clustering DP.
+    Returns {bucket_side: [sizes in the bucket, ascending]}."""
+    sizes = sorted(psd_by_n)
+    counts = [len(psd_by_n[k]) for k in sizes]
+    D = len(sizes)
+    B = min(max_buckets, D)
+
+    # seg_cost[i][j]: cost of sizes[i..j] padded to sizes[j]
+    seg = [[0.0] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i, D):
+            w = float(sizes[j]) ** 3
+            seg[i][j] = w * sum(counts[i:j + 1])
+
+    INF = float("inf")
+    # dp[b][j]: min cost of covering sizes[0..j] with b segments
+    dp = [[INF] * D for _ in range(B + 1)]
+    back = [[-1] * D for _ in range(B + 1)]
+    for j in range(D):
+        dp[1][j] = seg[0][j]
+    for b in range(2, B + 1):
+        for j in range(b - 1, D):
+            for i in range(b - 1, j + 1):
+                c = dp[b - 1][i - 1] + seg[i][j]
+                if c < dp[b][j]:
+                    dp[b][j] = c
+                    back[b][j] = i
+    best_b = min(range(1, B + 1), key=lambda b: dp[b][D - 1])
+    # walk back the segment boundaries
+    bounds = []
+    j, b = D - 1, best_b
+    while b >= 1:
+        i = 0 if b == 1 else back[b][j]
+        bounds.append((i, j))
+        j, b = i - 1, b - 1
+    out = {}
+    for i, j in reversed(bounds):
+        out[sizes[j]] = sizes[i:j + 1]
+    return out
+
 
 def _contig_start(g: ConeGroup):
     """Trace-time check: group indices are one contiguous range (the

@@ -89,6 +89,38 @@ def _chol_ok(L):
     return jnp.all(jnp.isfinite(L), axis=(-2, -1))
 
 
+def _pad_diag(g: ConeGroup):
+    """(count, n) float mask of PAD diagonal entries for a clique-size
+    bucketed group (cones of true side k embedded in the leading k×k
+    block of the side-n bucket), or None when the group is exact.
+
+    Adding this mask to the diagonal pins each pad block to the
+    identity, making every factorization exact on the real block:
+    chol(blkdiag(S, I)) = blkdiag(chol(S), I), logdet unchanged, NT
+    scaling block-diagonal with W_pad = I (so pad entries of every
+    scattered output are dropped by the sentinel indices)."""
+    if g.true_dims is None:
+        return None
+    cached = getattr(g, "_psd_pad_cache", None)
+    if cached is not None:
+        return cached
+    n = g.psd_n
+    tds = np.asarray(g.true_dims, dtype=np.int64)
+    ks = np.round((np.sqrt(8.0 * tds + 1.0) - 1.0) / 2.0).astype(np.int64)
+    mask = (np.arange(n)[None, :] >= ks[:, None]).astype(np.float64)
+    g._psd_pad_cache = mask
+    return mask
+
+
+def _add_pad_eye(M, pad):
+    """M + diag(pad) batched; no-op when pad is None."""
+    if pad is None:
+        return M
+    n = M.shape[-1]
+    r = jnp.arange(n)
+    return M.at[:, r, r].add(jnp.asarray(pad, M.dtype))
+
+
 # ---------------------------------------------------------------------------
 # interface implementations (same call signatures as ops.py expects)
 # ---------------------------------------------------------------------------
@@ -157,9 +189,17 @@ def _eigvalsh_sym(Z):
 
 
 def margins(g: ConeGroup, zvec):
-    Z = svec_to_mat(_gather(zvec, g), g.psd_n)
+    pad = _pad_diag(g)
+    Z = _add_pad_eye(svec_to_mat(_gather(zvec, g), g.psd_n), pad)
     e = _eigvalsh_sym(Z)
-    return jnp.min(e), jnp.sum(jnp.maximum(e, 0.0))
+    beta = jnp.sum(jnp.maximum(e, 0.0))
+    if pad is not None:
+        # pad eigenvalues are exactly 1 (decoupled identity block):
+        # remove their contribution from the positive-margin mass.  The
+        # min margin saturates at 1 for a deep-interior z, which only
+        # matters when no shift is needed anyway.
+        beta = beta - float(np.sum(pad))
+    return jnp.min(e), beta
 
 
 def scaled_unit_shift(g: ConeGroup, z, alpha):
@@ -171,8 +211,9 @@ def update_scaling(g: ConeGroup, s, z):
     """NT scaling: chol(S), chol(Z), SVD(L2ᵀL1) -> λ, R, Rinv.
     reference: coneops_psdtrianglecone.jl:78-143"""
     n = g.psd_n
-    S = svec_to_mat(_gather(s, g), n)
-    Z = svec_to_mat(_gather(z, g), n)
+    pad = _pad_diag(g)
+    S = _add_pad_eye(svec_to_mat(_gather(s, g), n), pad)
+    Z = _add_pad_eye(svec_to_mat(_gather(z, g), n), pad)
 
     L1 = jnp.linalg.cholesky(S)
     L2 = jnp.linalg.cholesky(Z)
@@ -293,9 +334,11 @@ def step_length(g: ConeGroup, state, dz, ds, z, s):
 def compute_barrier(g: ConeGroup, z, s, dz, ds, alpha):
     """-logdet(S) - logdet(Z) at the shifted point; +inf outside the cone."""
     n = g.psd_n
+    pad = _pad_diag(g)
 
     def logdet_term(x, dx):
-        X = svec_to_mat(_gather(x, g) + alpha * _gather(dx, g), n)
+        X = _add_pad_eye(
+            svec_to_mat(_gather(x, g) + alpha * _gather(dx, g), n), pad)
         L = jnp.linalg.cholesky(X)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)
         ok = jnp.all(jnp.isfinite(diag), axis=-1)
