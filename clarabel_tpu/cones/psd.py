@@ -112,13 +112,26 @@ def _pad_diag(g: ConeGroup):
     return mask
 
 
-def _add_pad_eye(M, pad):
-    """M + diag(pad) batched; no-op when pad is None."""
+def _add_pad_eye(M, pad, value=1.0):
+    """M + value*diag(pad) batched; no-op when pad is None."""
     if pad is None:
         return M
     n = M.shape[-1]
     r = jnp.arange(n)
-    return M.at[:, r, r].add(jnp.asarray(pad, M.dtype))
+    return M.at[:, r, r].add(value * jnp.asarray(pad, M.dtype))
+
+
+# Pad-block diagonal value used inside the NT scaling update.  It MUST
+# sit far away from the real singular-value cluster: with pads at 1,
+# the SVD of L2ᵀL1 sees pad singular values colliding with the real
+# λ ≈ 1 cluster near the central-path start, mixes the degenerate
+# subspaces, and the scaled quantities leak mass into pad coordinates
+# that the sentinel scatter then DROPS — observed as NUMERICAL_ERROR on
+# a 434-cone padded group (max-cut nv=500, forced single bucket).  An
+# exact power of two keeps chol/λ^{-1/2} arithmetic exact, so the pad
+# block of R/Rinv is exactly the identity; real λ would have to reach
+# 2⁴⁰ (s∘z entries ~1e24) to collide.
+_PAD_SCALE = float(2.0 ** 40)
 
 
 # ---------------------------------------------------------------------------
@@ -212,8 +225,8 @@ def update_scaling(g: ConeGroup, s, z):
     reference: coneops_psdtrianglecone.jl:78-143"""
     n = g.psd_n
     pad = _pad_diag(g)
-    S = _add_pad_eye(svec_to_mat(_gather(s, g), n), pad)
-    Z = _add_pad_eye(svec_to_mat(_gather(z, g), n), pad)
+    S = _add_pad_eye(svec_to_mat(_gather(s, g), n), pad, _PAD_SCALE)
+    Z = _add_pad_eye(svec_to_mat(_gather(z, g), n), pad, _PAD_SCALE)
 
     L1 = jnp.linalg.cholesky(S)
     L2 = jnp.linalg.cholesky(Z)

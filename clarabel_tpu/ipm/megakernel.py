@@ -1879,7 +1879,11 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # (measured: no overlap, docs/PERF.md), so fewer, larger dispatches
     # win — each extra dispatch pays the per-transfer latency floor
     # again.  16 blocks also bounds compile time of the gridded kernel.
-    CHUNK = 16 * BLOCK
+    # 64 blocks = 65,536 lanes per dispatch: the Mosaic body compiles
+    # once regardless of grid size, HBM comfortably holds the 64-block
+    # working set (~100 MB of split-f32 inputs at n=6/m=13), and each
+    # extra dispatch pays the tunnel's per-transfer latency floor again.
+    CHUNK = 64 * BLOCK
 
     def prepare(P, q, A, b):
         """Host-side numpy prep shared by solve() and benchmarks:
