@@ -14,6 +14,7 @@ per group instead of a per-cone loop.
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -170,14 +171,15 @@ class ConeLayout:
                 tb = bside * (bside + 1) // 2
                 idx = np.full((len(entries), tb), self.m, dtype=np.int32)
                 tdims = np.zeros(len(entries), dtype=np.int32)
-                emb_cache: Dict[int, np.ndarray] = {}
                 for i, (r, k) in enumerate(entries):
-                    emb = emb_cache.get(k)
-                    if emb is None:
-                        emb = _psd_embed_positions(k, bside)
-                        emb_cache[k] = emb
-                    idx[i, emb[:, 0]] = r[emb[:, 1]]
-                    tdims[i] = k * (k + 1) // 2
+                    # Both triangles use column-major triu ordering, so
+                    # the leading k×k block of the side-bside bucket
+                    # occupies svec positions 0..t_k-1 verbatim: bucket
+                    # position col(col+1)/2+row equals the cone position
+                    # for every col < k.  Embedding is a plain prefix.
+                    t_k = k * (k + 1) // 2
+                    idx[i, :t_k] = r
+                    tdims[i] = t_k
                 exact = bool(np.all(tdims == tb))
                 self.groups[f"psd{bside}b"] = ConeGroup(
                     "psd", idx, psd_n=bside,
@@ -242,21 +244,6 @@ class ConeLayout:
 # ---------------------------------------------------------------------------
 # static index helpers: slice instead of gather for contiguous groups
 # ---------------------------------------------------------------------------
-
-def _psd_embed_positions(k: int, N: int) -> np.ndarray:
-    """(t_k, 2) int array mapping a side-k cone's svec entries into the
-    side-N bucket triangle: column p holds (bucket_pos, cone_pos) pairs.
-    Both triangles use column-major triu ordering (psd._tri_indices), and
-    the cone occupies the LEADING k×k block, so bucket position
-    col(col+1)/2 + row maps to the identical cone position for col < k;
-    every other bucket position stays at the pad sentinel."""
-    out = []
-    for col in range(k):
-        base = (col * (col + 1)) // 2
-        for row in range(col + 1):
-            out.append((base + row, base + row))
-    return np.asarray(out, dtype=np.int64)
-
 
 def _psd_buckets(psd_by_n, max_buckets: int = 4):
     """Partition the distinct PSD sides into <= max_buckets contiguous
@@ -345,7 +332,27 @@ def _scatter(out, g: ConeGroup, vals):
         return jax.lax.dynamic_update_slice_in_dim(
             out, flat.astype(out.dtype), start, axis=0
         )
-    return out.at[g.idx].set(vals, mode="drop")
+    # Non-contiguous group: XLA lowers an f64 TPU scatter to a
+    # sequential per-row dynamic-update-slice loop (measured 227 us vs
+    # 49 us for the equivalent select+gather at m=2600, docs/PERF.md
+    # round 4).  Group rows are DISJOINT by construction and sentinel
+    # (out-of-range) entries must drop, so the scatter is exactly an
+    # inverse-permutation gather masked to the covered rows.
+    M = out.shape[0]
+    maps = getattr(g, "_scatter_maps", None)
+    if maps is None or maps[1].shape[0] != M:
+        idx = np.asarray(g.idx).ravel()
+        valid = (idx >= 0) & (idx < M)
+        pos = np.zeros(M, np.int32)
+        cov = np.zeros(M, bool)
+        pos[idx[valid]] = np.arange(idx.size, dtype=np.int32)[valid]
+        cov[idx[valid]] = True
+        maps = (pos, cov)
+        g._scatter_maps = maps
+    pos, cov = maps
+    flat = vals.reshape((g.count * g.width,) + vals.shape[2:])
+    covb = cov.reshape((M,) + (1,) * (vals.ndim - 2))
+    return jnp.where(covb, flat[pos].astype(out.dtype), out)
 
 
 def _row_range(g: ConeGroup):

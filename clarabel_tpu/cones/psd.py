@@ -203,16 +203,26 @@ def _eigvalsh_sym(Z):
 
 def margins(g: ConeGroup, zvec):
     pad = _pad_diag(g)
-    Z = _add_pad_eye(svec_to_mat(_gather(zvec, g), g.psd_n), pad)
-    e = _eigvalsh_sym(Z)
-    beta = jnp.sum(jnp.maximum(e, 0.0))
-    if pad is not None:
-        # pad eigenvalues are exactly 1 (decoupled identity block):
-        # remove their contribution from the positive-margin mass.  The
-        # min margin saturates at 1 for a deep-interior z, which only
-        # matters when no shift is needed anyway.
-        beta = beta - float(np.sum(pad))
-    return jnp.min(e), beta
+    Z = svec_to_mat(_gather(zvec, g), g.psd_n)
+    if pad is None:
+        e = _eigvalsh_sym(Z)
+        return jnp.min(e), jnp.sum(jnp.maximum(e, 0.0))
+    # Bucketed group: pad each cone's decoupled identity block with a
+    # value STRICTLY above its real block's spectral radius
+    # (λmax ≤ ‖Z‖_F < 1 + ‖Z‖_F), so in the ascending eigenvalue list
+    # the first k_i entries are exactly the real spectrum and the pads
+    # sit on top.  Min/beta then read only real eigenvalues — no
+    # saturation at the pad value and no subtraction error (the prior
+    # pad-at-1 scheme saturated the min margin at 1, which produced a
+    # spurious extra shift whenever the target exceeded 1 — ADVICE r3).
+    padval = 1.0 + jnp.sqrt(jnp.sum(jnp.square(Z), axis=(-2, -1)))
+    e = _eigvalsh_sym(_add_pad_eye(Z, pad, padval[:, None]))
+    n = g.psd_n
+    tds = np.asarray(g.true_dims, dtype=np.int64)
+    ks = np.round((np.sqrt(8.0 * tds + 1.0) - 1.0) / 2.0).astype(np.int64)
+    real = jnp.asarray(np.arange(n)[None, :] < ks[:, None])
+    beta = jnp.sum(jnp.where(real, jnp.maximum(e, 0.0), 0.0))
+    return jnp.min(e[:, 0]), beta
 
 
 def scaled_unit_shift(g: ConeGroup, z, alpha):
