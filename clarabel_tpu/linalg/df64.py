@@ -23,9 +23,11 @@ dense linear algebra (reference: src/kktsolvers/direct-ldl/*.jl uses native
 f64; on TPU the equivalent precision must be built from f32 pairs).
 """
 
+import math
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _SPLITTER = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
@@ -263,6 +265,76 @@ def sqrt(a: DF) -> DF:
     t = d.hi / (2.0 * y0_safe)
     hi, lo = _quick_two_sum(y0, t)
     return where(y0 > 0, DF(hi, lo), DF.zeros(()))
+
+
+_LN2 = 0.6931471805599453094172321214581766
+_INV_LN2 = np.float32(1.4426950408889634)
+# exp Taylor cutoff: |r| <= ln2/2 after range reduction, and
+# (ln2/2)^14 / 14! ~ 2^-57 < the ~2^-49 double-float ulp
+_EXP_TERMS = 14
+
+
+def _pow2_exact(k):
+    """2^k for integer-valued f32 k in [-252, 254], EXACTLY, as a pair
+    of f32 power-of-two factors to multiply in sequence.  jnp.exp2 is a
+    polynomial approximation on XLA (measured rel err ~2^-17 even on
+    integer arguments — it silently destroyed exp's last 7 digits), so
+    the factors are built from raw exponent bits instead."""
+    ki = k.astype(jnp.int32)
+    k1 = ki >> 1            # floor halving keeps both halves in
+    k2 = ki - k1            # [-126, 127] over the full domain
+
+    def bits(e):
+        e = jnp.clip(e, -126, 127)
+        return jax.lax.bitcast_convert_type(
+            ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    return bits(k1), bits(k2)
+
+
+def exp(a: DF) -> DF:
+    """Double-float exp via range reduction a = k·ln2 + r (|r| ≤ ln2/2)
+    and a Taylor series evaluated in df arithmetic, then an exact 2^k
+    scale — the standard double-double recipe (Hida/Li/Bailey QD; class
+    (b) textbook algorithm, no reference-code counterpart).
+
+    Domain: |a.hi| within the f32 exp range (cone callers feed moderate
+    logs/ratios).  a.hi <= -87 underflows to 0, a.hi >= 89 returns inf
+    — both in line with jnp.exp(f32) semantics."""
+    k = jnp.round(a.hi * _INV_LN2)
+    r = a - DF.const(_LN2) * DF(k)
+    # Horner in df: sum_{i=0..N} r^i / i!
+    acc = DF.const(1.0 / float(math.factorial(_EXP_TERMS)))
+    for i in range(_EXP_TERMS - 1, -1, -1):
+        acc = acc * r + DF.const(1.0 / float(math.factorial(i)))
+    s1, s2 = _pow2_exact(k)
+    out = DF(acc.hi * s1 * s2, acc.lo * s1 * s2)
+    # saturate outside the reduced range instead of trusting the series
+    out = where(a.hi >= 89.0, DF(jnp.full_like(a.hi, np.inf)), out)
+    out = where(a.hi <= -87.0, DF.zeros(a.hi.shape), out)
+    return out
+
+
+def log(a: DF) -> DF:
+    """Double-float log by Newton refinement of the f32 estimate against
+    the df exp: y ← y + a·exp(−y) − 1.  Two iterations take the f32
+    estimate's ~1e-7 relative error to ~1e-14 and then below the df ulp
+    (quadratic convergence).  Domain: a > 0; a <= 0 returns -inf on hi
+    (mirrors cones/_logsafe guarding at call sites)."""
+    pos = a.hi > 0
+    safe = where(pos, a, DF(jnp.ones_like(a.hi)))
+    y = DF(jnp.log(jnp.where(pos, a.hi, 1.0)))
+    for _ in range(2):
+        y = y + safe * exp(-y) - 1.0
+    neg_inf = jnp.full_like(a.hi, -np.inf)
+    return DF(jnp.where(pos, y.hi, neg_inf),
+              jnp.where(pos, y.lo, jnp.zeros_like(a.lo)))
+
+
+def powc(a: DF, p: float) -> DF:
+    """a**p for a trace-time-constant exponent, via exp(p·log a).
+    Domain: a > 0 (pow-cone alphas scale positive arguments)."""
+    return exp(log(a) * DF.const(float(p)))
 
 
 def dsum(terms: Sequence[DF]) -> DF:

@@ -127,3 +127,40 @@ def test_under_jit():
     hi, lo = f(da.hi, da.lo, db.hi, db.lo)
     exact = a * b + np.abs(b)
     assert _relerr(np.asarray(df64.join_f64(hi, lo)), exact) < 1e-12
+
+
+def test_exp_precision():
+    # full df precision wherever the result's lo word stays normal
+    # (|result| >~ 4e-31; below that XLA flushes the subnormal lo --
+    # the same dynamic-range limit as XLA's own f64-on-TPU emulation)
+    x = np.concatenate([RNG.uniform(-55.0, 80.0, 4000),
+                        RNG.uniform(-0.5, 0.5, 2000),
+                        np.array([0.0, 1.0, -1.0, 70.0, -50.0])])
+    out = _val(df64.exp(_mk(x)))
+    assert _relerr(out, np.exp(x)) < 5e-13
+    # graceful degradation in the deep-underflow band, saturation below
+    deep = _val(df64.exp(_mk(np.array([-70.0, -86.0, -100.0]))))
+    assert abs(deep[0] / np.exp(-70.0) - 1.0) < 1e-7
+    assert deep[2] == 0.0
+    assert np.isinf(_val(df64.exp(_mk(np.array([95.0]))))[0])
+
+
+def test_log_precision():
+    y = np.exp(RNG.uniform(-60.0, 60.0, 4000))
+    out = _val(df64.log(_mk(y)))
+    want = np.log(y)
+    assert np.max(np.abs(out - want)) < 1e-12
+    # near 1: relative accuracy through the Newton polish
+    y1 = 1.0 + RNG.uniform(-0.4, 0.4, 2000)
+    out1 = _val(df64.log(_mk(y1)))
+    assert np.max(np.abs(out1 - np.log(y1))) < 5e-14
+    # domain guard mirrors cones/_logsafe call-site semantics
+    bad = df64.log(_mk(np.array([0.0, -3.0])))
+    assert np.all(np.isneginf(np.asarray(bad.hi)))
+
+
+def test_powc_precision():
+    z = np.exp(RNG.uniform(-20.0, 20.0, 2000))
+    for p in (0.371, 2.0, -1.3, 0.5):
+        out = _val(df64.powc(_mk(z), p))
+        assert _relerr(out, z ** p) < 1e-12
