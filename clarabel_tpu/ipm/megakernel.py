@@ -36,6 +36,7 @@ XLA loop runs every instance to the slowest lane of the whole batch).
 """
 
 import functools
+import math
 from typing import List, Tuple
 
 import numpy as np
@@ -43,8 +44,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..cones.api import (NonnegativeConeT, SecondOrderConeT,
-                         ZeroConeT)
+from ..cones.api import (ExponentialConeT, NonnegativeConeT,
+                         PowerConeT, SecondOrderConeT, ZeroConeT)
 from ..cones.layout import ConeLayout
 from ..statuscodes import SolverStatus
 from ..linalg.df64 import DF, df, split_f64, join_f64
@@ -65,6 +66,10 @@ ALMOST_DINF = int(SolverStatus.ALMOST_DUAL_INFEASIBLE)
 MAX_ITERATIONS = int(SolverStatus.MAX_ITERATIONS)
 NUMERICAL_ERROR = int(SolverStatus.NUMERICAL_ERROR)
 INSUFFICIENT_PROGRESS = int(SolverStatus.INSUFFICIENT_PROGRESS)
+
+# scaling strategy codes (reference: src/types.jl:73-76, ipm/loop.py)
+PRIMAL_DUAL = 0
+DUAL = 1
 
 # f32-phase handoff rules (beyond the mu switch): a lane leaves phase 1
 # for the double-float phase when its f32 step collapses, its mu stops
@@ -130,12 +135,25 @@ def eligible(layout: ConeLayout, settings, n: int) -> bool:
         return False
     if _vmem_estimate_bytes(n, m) > 12 * 1024 * 1024:
         return False
+    n_nonsym = 0
     for c in layout.cones:
         if not isinstance(c, (ZeroConeT, NonnegativeConeT,
-                              SecondOrderConeT)):
+                              SecondOrderConeT, ExponentialConeT,
+                              PowerConeT)):
             return False
         if isinstance(c, SecondOrderConeT) and c.dim < 2:
             return False
+        if isinstance(c, (ExponentialConeT, PowerConeT)):
+            n_nonsym += 1
+    # nonsymmetric segments carry per-cone 3x3 scaling state and
+    # log/exp-heavy updates in-kernel; bound their count separately and
+    # charge their state (grad + H_dual + Hs + chol factor + z copy,
+    # hi+lo) against the VMEM budget
+    if n_nonsym > 16:
+        return False
+    if (_vmem_estimate_bytes(n, m) + n_nonsym * 48 * S8 * L128 * 4
+            > 12 * 1024 * 1024):
+        return False
     if layout.degree < 1:
         return False   # pure-equality problems: no barrier to follow
     return True
@@ -232,6 +250,8 @@ class _ArDF:
     dmin = staticmethod(df64.dmin)
     dabs = staticmethod(df64.dabs)
     zeros = staticmethod(DF.zeros)
+    log = staticmethod(df64.log)
+    exp = staticmethod(df64.exp)
 
     @staticmethod
     def lift(x):
@@ -273,6 +293,14 @@ class _ArF32:
     @staticmethod
     def dabs(a):
         return F1(jnp.abs(_f1v(a)))
+
+    @staticmethod
+    def log(a):
+        return F1(jnp.log(_f1v(a)))
+
+    @staticmethod
+    def exp(a):
+        return F1(jnp.exp(_f1v(a)))
 
     @staticmethod
     def lift(x):
@@ -461,11 +489,17 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     st = settings
     two_phase = bool(getattr(st, "megakernel_two_phase", True))
     has_zero = any(isinstance(c, ZeroConeT) for c in layout.cones)
+    has_nonsym = any(isinstance(c, (ExponentialConeT, PowerConeT))
+                     for c in layout.cones)
     if has_zero:
         # zero-cone rows enter the condensed system as 1/eps ~ 1e8
         # (mirroring kkt/condensed.py + cones/ops.mul_Hs_inv): the
         # squared conditioning is fine for double-float refinement but
         # diverges at f32, so the f32 phase is disabled
+        two_phase = False
+    if has_nonsym:
+        # nonsymmetric scalings/corrections are cancellation-sensitive
+        # (log/exp chains, 3rd-order terms); run the df phase only
         two_phase = False
     switch_mu = np.float32(getattr(st, "megakernel_switch_mu", 1e-4))
     p1_cap = int(min(_P1_CAP, st.max_iter))
@@ -475,16 +509,25 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     refine_f32 = (0 if not st.iterative_refinement_enable
                   else _REFINE_CAP_F32)
 
-    # static cone segments (contiguous by ConeLayout construction)
+    # static cone segments (contiguous by ConeLayout construction);
+    # seg_alphas carries the pow cone's trace-time-constant exponent
     segs: List[Tuple[str, int, int]] = []
+    seg_alphas: List[float] = []
     for cone, (lo, hi) in zip(layout.cones, layout.ranges):
+        alpha_c = None
         if isinstance(cone, ZeroConeT):
             kind = "zero"
         elif isinstance(cone, NonnegativeConeT):
             kind = "nn"
+        elif isinstance(cone, ExponentialConeT):
+            kind = "exp"
+        elif isinstance(cone, PowerConeT):
+            kind = "pow"
+            alpha_c = float(cone.alpha)
         else:
             kind = "soc"
         segs.append((kind, lo, hi))
+        seg_alphas.append(alpha_c)
 
     # ---------------- precision-generic subroutines ----------------
 
@@ -508,16 +551,404 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             """A' @ y -> (n, 8, 128) stack."""
             return _vstack([_vdot0(c, y) for c in cols])
 
-        def make_scaling(s, z):
+        # ---- nonsymmetric (exp/pow) cone helpers -------------------
+        # reference: coneops_expcone.jl, coneops_powcone.jl,
+        # coneops_nonsymmetric_common.jl, mirrored from
+        # cones/nonsymmetric.py in per-lane stacked-scalar form.
+        # Segment values are 3-lists of ar scalars; Hessians are
+        # 6-tuples (h11, h12, h13, h22, h23, h33).
+
+        def nslogsafe(x):
+            pos = x.hi > 0
+            return ar.where(pos, ar.log(ar.where(pos, x, 1.0)),
+                            ar.lift(jnp.full((S8, L128), -_BIG)))
+
+        def _logsafe32(x):
+            return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)),
+                             -_BIG)
+
+        def _wright_omega32(zh):
+            """f32 series/asymptotic initialization of ω(z) (reference:
+            coneops_expcone.jl:412-468, Santiago thesis alg. 4)."""
+            zm1 = zh - 1.0
+            w_s = 1.0 + 0.5 * zm1
+            p = zm1 * zm1
+            w_s = w_s + p * np.float32(1.0 / 16.0)
+            p = p * zm1
+            w_s = w_s - p * np.float32(1.0 / 192.0)
+            p = p * zm1
+            w_s = w_s - p * np.float32(1.0 / 3072.0)
+            p = p * zm1
+            w_s = w_s + p * np.float32(13.0 / 61440.0)
+            z_b = jnp.maximum(zh, np.float32(1.0 + np.pi))
+            logz = jnp.log(z_b)
+            zinv = 1.0 / z_b
+            w_b = z_b - logz
+            q = logz * zinv
+            w_b = w_b + q
+            q = q * zinv
+            w_b = w_b + q * (logz * 0.5 - 1.0)
+            q = q * zinv
+            w_b = w_b + q * (logz * logz * np.float32(1.0 / 3.0)
+                             - 1.5 * logz + 1.0)
+            w0 = jnp.where(zh < np.float32(1.0 + np.pi), w_s, w_b)
+            # one f32 Santiago refinement round (enough for the f32
+            # barrier check; the ar path refines further below)
+            w0 = jnp.maximum(w0, np.float32(1e-10))
+            r = zh - w0 - jnp.log(w0)
+            wp1 = w0 + 1.0
+            t = wp1 * (wp1 + r * np.float32(2.0 / 3.0))
+            return w0 * (1.0 + (r / wp1) * (t - 0.5 * r) / (t - r))
+
+        def wright_omega(zv):
+            """ω(z) in `ar` arithmetic: f32 start + Santiago refinement
+            rounds with the accurate log."""
+            w = ar.lift(_wright_omega32(zv.hi))
+            for _ in range(2 if ar.is_df else 1):
+                r = zv - w - ar.log(w)
+                wp1 = w + 1.0
+                t = wp1 * (wp1 + r * (2.0 / 3.0))
+                w = w * (1.0 + (r / wp1) * (t - r * 0.5) / (t - r))
+            return w
+
+        def exp_feas_dual(Z):
+            z1, z2, z3 = Z
+            ok_sign = jnp.logical_and(z3.hi > 0, z1.hi < 0)
+            zsafe = ar.where(z1.hi < 0, z1, -1.0)
+            res = z2 - z1 - z1 * nslogsafe(-z3 / zsafe)
+            return jnp.logical_and(ok_sign, res.hi > 0)
+
+        def exp_feas_primal(S):
+            s1, s2, s3 = S
+            ok = jnp.logical_and(s3.hi > 0, s2.hi > 0)
+            res = s2 * nslogsafe(s3 / ar.where(s2.hi > 0, s2, 1.0)) - s1
+            return jnp.logical_and(ok, res.hi > 0)
+
+        def exp_grad_hess_dual(Z):
+            """reference: coneops_expcone.jl:370-399"""
+            z1, z2, z3 = Z
+            l = nslogsafe(-z3 / z1)
+            r = -z1 * l - z1 + z2
+            c2 = ar.recip(r)
+            g = [c2 * l - ar.recip(z1), -c2, (c2 * z1 - 1.0) / z3]
+            rr = r * r
+            z1sq = z1 * z1
+            H11 = (rr - z1 * r + l * l * z1sq) / (rr * z1sq)
+            H12 = -l / rr
+            H22 = ar.recip(rr)
+            H13 = (z2 - z1) / (rr * z3)
+            H23 = -z1 / (rr * z3)
+            H33 = (rr - z1 * r + z1sq) / (rr * z3 * z3)
+            return g, (H11, H12, H13, H22, H23, H33)
+
+        def exp_grad_primal(S):
+            """reference: coneops_expcone.jl:284-297"""
+            s1, s2, s3 = S
+            w = wright_omega(1.0 - s1 / s2 - nslogsafe(s2 / s3))
+            g1 = ar.recip((w - 1.0) * s2)
+            g2 = g1 + g1 * nslogsafe(w * s2 / s3) - ar.recip(s2)
+            g3 = w / ((1.0 - w) * s3)
+            return [g1, g2, g3]
+
+        def pow_phi_dual(Z, a):
+            return ar.exp(nslogsafe(Z[0] / a) * (2.0 * a)
+                          + nslogsafe(Z[1] / (1.0 - a)) * (2.0 - 2.0 * a))
+
+        def pow_feas_dual(Z, a):
+            ok = jnp.logical_and(Z[0].hi > 0, Z[1].hi > 0)
+            res = pow_phi_dual(Z, a) - Z[2] * Z[2]
+            return jnp.logical_and(ok, res.hi > 0)
+
+        def pow_feas_primal(S, a):
+            ok = jnp.logical_and(S[0].hi > 0, S[1].hi > 0)
+            res = ar.exp(nslogsafe(S[0]) * (2.0 * a)
+                         + nslogsafe(S[1]) * (2.0 - 2.0 * a)) \
+                - S[2] * S[2]
+            return jnp.logical_and(ok, res.hi > 0)
+
+        def pow_grad_hess_dual(Z, a):
+            """reference: coneops_powcone.jl:408-440"""
+            z1, z2, z3 = Z
+            phi = pow_phi_dual(Z, a)
+            psi = phi - z3 * z3
+            ipsi = ar.recip(psi)
+            g1p = phi * ipsi * (2.0 * a) / z1
+            g2p = phi * ipsi * (2.0 - 2.0 * a) / z2
+            g3p = z3 * ipsi * (-2.0)
+            H11 = (g1p * g1p
+                   - phi * ipsi * (2.0 * a * (2.0 * a - 1.0)) / (z1 * z1)
+                   + (1.0 - a) / (z1 * z1))
+            H12 = g1p * g2p - phi * ipsi * (4.0 * a * (1.0 - a)) / (z1 * z2)
+            H22 = (g2p * g2p
+                   - phi * ipsi
+                   * (2.0 * (1.0 - a) * (1.0 - 2.0 * a)) / (z2 * z2)
+                   + a / (z2 * z2))
+            H13 = g1p * g3p
+            H23 = g2p * g3p
+            H33 = g3p * g3p + ipsi * 2.0
+            g = [-g1p - (1.0 - a) / z1, -g2p - a / z2, -g3p]
+            return g, (H11, H12, H13, H22, H23, H33)
+
+        def _pow_nr32(s1h, s2h, s3h, a):
+            """f32 one-sided NR for the pow primal gradient magnitude
+            (reference: coneops_powcone.jl:449-478,
+            coneops_nonsymmetric_common.jl:170-193).
+            Returns (x32, big_mask, abs_safe)."""
+            a32 = np.float32(a)
+            phi32 = jnp.exp(2.0 * a32 * _logsafe32(s1h)
+                            + (2.0 - 2.0 * a32) * _logsafe32(s2h))
+            abs_s = jnp.abs(s3h)
+            eps32 = np.float32(np.finfo(np.float32).eps)
+            big = abs_s > eps32
+            absf = jnp.where(big, abs_s, 1.0)
+            denom0 = jnp.where(jnp.abs(phi32 - absf * absf) > 0,
+                               phi32 - absf * absf, 1.0)
+            x032 = -1.0 / absf + (
+                2.0 * absf + jnp.sqrt(jnp.maximum(
+                    phi32 * phi32 / (absf * absf) + 3.0 * phi32, 0.0))
+            ) / denom0
+            t0c = (-2.0 * a * math.log(a)
+                   - 2.0 * (1.0 - a) * math.log(1.0 - a))
+
+            def f0_32(x):
+                t1 = x * x
+                t2 = 2.0 * x / absf
+                return (2.0 * a32 * _logsafe32(2.0 * a32 * t1
+                                               + (1.0 + a32) * t2)
+                        + (2.0 - 2.0 * a32)
+                        * _logsafe32((2.0 - 2.0 * a32) * t1
+                                     + (2.0 - a32) * t2)
+                        - _logsafe32(phi32) - _logsafe32(t1 + t2)
+                        - 2.0 * _logsafe32(t2) + np.float32(t0c))
+
+            def f1_32(x):
+                t1 = x * x
+                t2 = 2.0 * x / absf
+                return (2.0 * a32 * a32 / (a32 * x + (1.0 + a32) / absf)
+                        + (2.0 - 2.0 * a32) * (1.0 - a32)
+                        / ((1.0 - a32) * x + (2.0 - a32) / absf)
+                        - 2.0 * (x + 1.0 / absf)
+                        / jnp.where(t1 + t2 != 0, t1 + t2, 1.0))
+
+            def nr_cond(c):
+                i, x, done = c
+                return jnp.logical_and(i < 50,
+                                       jnp.logical_not(jnp.min(done)))
+
+            def nr_body(c):
+                i, x, done = c
+                d1 = f1_32(x)
+                d1s = jnp.where(d1 != 0, d1, 1.0)
+                dx = -f0_32(x) / d1s
+                stop = functools.reduce(jnp.logical_or, [
+                    dx < eps32,
+                    jnp.abs(dx / jnp.where(x != 0, x, 1.0))
+                    < np.float32(np.sqrt(np.finfo(np.float32).eps)),
+                    jnp.abs(d1) < eps32])
+                x = jnp.where(jnp.logical_or(done > 0, stop), x, x + dx)
+                return (i + 1,
+                        x, jnp.logical_or(done > 0, stop).astype(
+                            jnp.float32))
+
+            _, x32, _ = lax.while_loop(
+                nr_cond, nr_body,
+                (jnp.int32(0), x032,
+                 jnp.zeros((S8, L128), jnp.float32)))
+            return x32, big, absf
+
+        def pow_grad_primal(S, a):
+            """NR-based primal gradient (reference:
+            coneops_powcone.jl:288-316,449-478): f32 one-sided NR to
+            ~1e-7, then `ar` Newton polish steps (quadratic: two passes
+            reach the df ulp)."""
+            s1, s2, s3 = S
+            s1h, s2h, s3h = s1.hi, s2.hi, s3.hi
+            x32, big, absf = _pow_nr32(s1h, s2h, s3h, a)
+            t0c = (-2.0 * a * math.log(a)
+                   - 2.0 * (1.0 - a) * math.log(1.0 - a))
+            x = ar.lift(x32)
+            if ar.is_df:
+                absd = ar.where(big, ar.dabs(s3), 1.0)
+                iabsd = ar.recip(absd)
+                for _ in range(2):
+                    t1 = x * x
+                    t2 = x * iabsd * 2.0
+                    f0 = (nslogsafe(t1 * (2.0 * a)
+                                    + t2 * (1.0 + a)) * (2.0 * a)
+                          + nslogsafe(t1 * (2.0 - 2.0 * a)
+                                      + t2 * (2.0 - a))
+                          * (2.0 - 2.0 * a)
+                          - (nslogsafe(s1) * (2.0 * a)
+                             + nslogsafe(s2) * (2.0 - 2.0 * a))
+                          - nslogsafe(t1 + t2) - nslogsafe(t2) * 2.0
+                          + t0c)
+                    f1 = (ar.recip(x * a + iabsd * (1.0 + a))
+                          * (2.0 * a * a)
+                          + ar.recip(x * (1.0 - a) + iabsd * (2.0 - a))
+                          * ((2.0 - 2.0 * a) * (1.0 - a))
+                          - (x + iabsd) * 2.0
+                          * ar.recip(ar.where((t1 + t2).hi != 0,
+                                              t1 + t2, 1.0)))
+                    f1s = ar.where(f1.hi != 0, f1, 1.0)
+                    x = x - f0 / f1s
+            sgn = jnp.where(s3h < 0, np.float32(-1.0), np.float32(1.0))
+            g3 = ar.where(big, x * ar.lift(sgn),
+                          ar.zeros((S8, L128)))
+            g1 = ar.where(big, -(g3 * s3 * a + (1.0 + a)) / s1,
+                          ar.lift(np.float32(-(1.0 + a))) / s1)
+            g2 = ar.where(big,
+                          -(g3 * s3 * (1.0 - a) + (2.0 - a)) / s2,
+                          ar.lift(np.float32(-(2.0 - a))) / s2)
+            return [g1, g2, g3]
+
+        def hmul3(H, v):
+            h11, h12, h13, h22, h23, h33 = H
+            return [h11 * v[0] + h12 * v[1] + h13 * v[2],
+                    h12 * v[0] + h22 * v[1] + h23 * v[2],
+                    h13 * v[0] + h23 * v[1] + h33 * v[2]]
+
+        def dot3(u, v):
+            return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+        def chol3_fac(H):
+            """Closed-form 3x3 Cholesky (reference:
+            src/utils/mathutils.jl:427-466; mirrors smallops.chol3)."""
+            h11, h12, h13, h22, h23, h33 = H
+            ok = h11.hi > 0
+            l11 = ar.sqrt(ar.dmax(h11, 0.0))
+            l11 = ar.where(l11.hi > 0, l11, 1.0)
+            i11 = ar.recip(l11)
+            l21 = h12 * i11
+            l31 = h13 * i11
+            d2 = h22 - l21 * l21
+            ok = jnp.logical_and(ok, d2.hi > 0)
+            l22 = ar.sqrt(ar.dmax(d2, 0.0))
+            l22 = ar.where(l22.hi > 0, l22, 1.0)
+            i22 = ar.recip(l22)
+            l32 = (h23 - l31 * l21) * i22
+            d3 = h33 - l31 * l31 - l32 * l32
+            ok = jnp.logical_and(ok, d3.hi > 0)
+            l33 = ar.sqrt(ar.dmax(d3, 0.0))
+            l33 = ar.where(l33.hi > 0, l33, 1.0)
+            i33 = ar.recip(l33)
+            return (l21, l31, l32, i11, i22, i33), ok
+
+        def chol3_solve_fac(F, b):
+            l21, l31, l32, i11, i22, i33 = F
+            y1 = b[0] * i11
+            y2 = (b[1] - l21 * y1) * i22
+            y3 = (b[2] - l31 * y1 - l32 * y2) * i33
+            x3 = y3 * i33
+            x2 = (y2 - l32 * x3) * i22
+            x1 = (y1 - l21 * x2 - l31 * x3) * i11
+            return [x1, x2, x3]
+
+        def pd_scaling_3d(Hd, st_g, zt, S, Z):
+            """Primal-dual (BFGS) Hs with per-lane usability fallback to
+            the local-μ dual form (reference:
+            coneops_nonsymmetric_common.jl:50-164)."""
+            eps_T = np.float32(np.finfo(np.float64).eps)
+            dot_sz = dot3(S, Z)
+            mu_l = dot_sz * (1.0 / 3.0)
+            mut = dot3(zt, st_g) * (1.0 / 3.0)
+            dsv = [S[i] + mu_l * st_g[i] for i in range(3)]
+            dzv = [Z[i] + mu_l * zt[i] for i in range(3)]
+            dot_dsz = dot3(dsv, dzv)
+            de1 = mu_l * mut - 1.0
+            Hzt = hmul3(Hd, zt)
+            de2 = dot3(zt, Hzt) - mut * mut * 3.0
+            usable = functools.reduce(jnp.logical_and, [
+                ar.dabs(de1).hi > np.float32(np.sqrt(eps_T)),
+                ar.dabs(de2).hi > eps_T,
+                dot_sz.hi > 0, dot_dsz.hi > 0])
+            de2s = ar.where(de2.hi != 0, de2, 1.0)
+            tmp = [mut * st_g[i] - Hzt[i] for i in range(3)]
+            ide2 = ar.recip(de2s)
+
+            def hws(i, j):
+                return (Hd_at(Hd, i, j)
+                        - st_g[i] * st_g[j] * (1.0 / 3.0)
+                        - tmp[i] * tmp[j] * ide2)
+
+            w11, w12, w13 = hws(0, 0), hws(0, 1), hws(0, 2)
+            w22, w23, w33 = hws(1, 1), hws(1, 2), hws(2, 2)
+            frob = (w11 * w11 + w22 * w22 + w33 * w33
+                    + (w12 * w12 + w13 * w13 + w23 * w23) * 2.0)
+            t = mu_l * ar.sqrt(ar.dmax(frob, 0.0))
+            ax = [Z[1] * zt[2] - Z[2] * zt[1],
+                  Z[2] * zt[0] - Z[0] * zt[2],
+                  Z[0] * zt[1] - Z[1] * zt[0]]
+            axn = ar.sqrt(ar.dmax(dot3(ax, ax), 0.0))
+            iaxn = ar.recip(ar.where(axn.hi > 0, axn, 1.0))
+            ax = [a_ * iaxn for a_ in ax]
+            isz = ar.recip(ar.where(dot_sz.hi != 0, dot_sz, 1.0))
+            idsz = ar.recip(ar.where(dot_dsz.hi != 0, dot_dsz, 1.0))
+
+            def hspd(i, j):
+                return (S[i] * S[j] * isz + dsv[i] * dsv[j] * idsz
+                        + t * ax[i] * ax[j])
+
+            pd = (hspd(0, 0), hspd(0, 1), hspd(0, 2),
+                  hspd(1, 1), hspd(1, 2), hspd(2, 2))
+            fin = functools.reduce(jnp.logical_and,
+                                   [jnp.isfinite(e.hi) for e in pd])
+            usable = jnp.logical_and(usable, fin)
+            fb = tuple(Hd[i] * mu_l for i in range(6))
+            return tuple(ar.where(usable, pd[i], fb[i])
+                         for i in range(6)), usable
+
+        def Hd_at(H, i, j):
+            key = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2,
+                   (2, 0): 2, (1, 1): 3, (1, 2): 4, (2, 1): 4,
+                   (2, 2): 5}[(i, j)]
+            return H[key]
+
+        def nonsym_grad_hess(kind, a, S, Z):
+            if kind == "exp":
+                feas = jnp.logical_and(exp_feas_dual(Z),
+                                       exp_feas_primal(S))
+                g, Hd = exp_grad_hess_dual(Z)
+                zt = exp_grad_primal(S)
+            else:
+                feas = jnp.logical_and(pow_feas_dual(Z, a),
+                                       pow_feas_primal(S, a))
+                g, Hd = pow_grad_hess_dual(Z, a)
+                zt = pow_grad_primal(S, a)
+            return g, Hd, zt, feas
+
+        def make_scaling(s, z, mu=None, strat=None):
             """NT scaling update for every cone (reference:
             coneops_nncone.jl:77-89, coneops_socone.jl:75-154; mirrored
-            from cones/ops.py update_scaling)."""
+            from cones/ops.py update_scaling).  `mu`/`strat` drive the
+            nonsymmetric cones' dual vs primal-dual Hs selection."""
             ok = jnp.ones((S8, L128), bool)
             state = []
-            for kind, lo, hi in segs:
+            for seg_i, (kind, lo, hi) in enumerate(segs):
                 sg, zg = s[lo:hi], z[lo:hi]
                 if kind == "zero":
                     state.append({"kind": "zero"})
+                    continue
+                if kind in ("exp", "pow"):
+                    a = seg_alphas[seg_i]
+                    S3 = [sg[0], sg[1], sg[2]]
+                    Z3 = [zg[0], zg[1], zg[2]]
+                    g, Hd, zt, feas = nonsym_grad_hess(kind, a, S3, Z3)
+                    pd_hs, _usable = pd_scaling_3d(Hd, g, zt, S3, Z3)
+                    dual_hs = tuple(Hd[i] * mu for i in range(6))
+                    use_pd = (strat == PRIMAL_DUAL
+                              if strat is not None
+                              else jnp.zeros((S8, L128), bool))
+                    Hs = tuple(ar.where(use_pd, pd_hs[i], dual_hs[i])
+                               for i in range(6))
+                    fin = functools.reduce(
+                        jnp.logical_and,
+                        [jnp.isfinite(e.hi) for e in Hs])
+                    ok = jnp.logical_and(ok,
+                                         jnp.logical_and(feas, fin))
+                    Fc, okc = chol3_fac(Hs)
+                    ok = jnp.logical_and(ok, okc)
+                    state.append({"kind": kind, "g": g, "Hd": Hd,
+                                  "Hs": Hs, "F": Fc, "z": Z3})
                     continue
                 if kind == "nn":
                     prod = sg * zg
@@ -590,6 +1021,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                                            jnp.float32))
                 elif stg["kind"] == "nn":
                     parts.append(stg["w2"].hi)
+                elif stg["kind"] in ("exp", "pow"):
+                    h = stg["Hs"]
+                    parts.append(jnp.stack(
+                        [h[0].hi, h[3].hi, h[5].hi], axis=0))
                 else:
                     w, eta2 = stg["w"], stg["eta2"]
                     w2 = 2.0 * w.hi * w.hi
@@ -613,6 +1048,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     out.append(vg)
                 elif kind == "nn":
                     out.append(vg * state[i]["winv2"])
+                elif kind in ("exp", "pow"):
+                    sol = chol3_solve_fac(state[i]["F"],
+                                          [vg[0], vg[1], vg[2]])
+                    out.append(_vstack(sol))
                 else:
                     stg = state[i]
                     wbar = stg["wbar"]
@@ -632,6 +1071,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     out.append(vg)
                 elif kind == "nn":
                     out.append(vg * state[i]["w2"])
+                elif kind in ("exp", "pow"):
+                    out.append(_vstack(hmul3(state[i]["Hs"],
+                                             [vg[0], vg[1], vg[2]])))
                 else:
                     stg = state[i]
                     w = stg["w"]
@@ -965,10 +1407,15 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return jnp.minimum(alpha_i, a0)
 
         def step_length(dz, ds, z, s, amax):
-            """reference: src/variables.jl:14-43 + per-cone steps."""
+            """reference: src/variables.jl:14-43 + per-cone steps.
+            Symmetric cones first; with nonsymmetric cones present the
+            step is capped below 1 and their feasibility backtracking
+            runs jointly over all exp/pow segments (reference:
+            coneops_compositecone.jl:205-243,
+            coneops_nonsymmetric_common.jl:5-34)."""
             alpha = amax
             for kind, lo, hi in segs:
-                if kind == "zero":
+                if kind in ("zero", "exp", "pow"):
                     continue
                 dzg, dsg = dz.hi[lo:hi], ds.hi[lo:hi]
                 zg, sg = z.hi[lo:hi], s.hi[lo:hi]
@@ -988,14 +1435,154 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     alpha = jnp.minimum(alpha,
                                         soc_step_len(s[lo:hi],
                                                      ds[lo:hi]))
+            if not has_nonsym:
+                return alpha
+            # cap: the reference caps at 1-sqrt(eps_f64), which rounds
+            # to 1.0 in f32 alpha arithmetic; use 1-2^-12 instead
+            # (docs/DEVIATIONS.md — a marginally smaller cap, same role)
+            alpha = jnp.minimum(alpha, np.float32(1.0 - 2.0 ** -12))
+
+            step_bt = np.float32(st.linesearch_backtrack_step)
+            alpha_min = np.float32(st.min_terminate_step_length)
+
+            def feas_at(a_arr):
+                ad = ar.lift(a_arr)
+                okf = jnp.ones((S8, L128), bool)
+                for seg_i, (kind, lo, hi) in enumerate(segs):
+                    if kind not in ("exp", "pow"):
+                        continue
+                    a = seg_alphas[seg_i]
+                    Zt = [z[lo + j] + ad * dz[lo + j] for j in range(3)]
+                    St = [s[lo + j] + ad * ds[lo + j] for j in range(3)]
+                    if kind == "exp":
+                        okf = jnp.logical_and(okf, exp_feas_dual(Zt))
+                        okf = jnp.logical_and(okf, exp_feas_primal(St))
+                    else:
+                        okf = jnp.logical_and(okf, pow_feas_dual(Zt, a))
+                        okf = jnp.logical_and(okf,
+                                              pow_feas_primal(St, a))
+                return okf
+
+            def bt_cond(c):
+                i, a_arr, done = c
+                return jnp.logical_and(i < 60,
+                                       jnp.logical_not(jnp.min(done)))
+
+            def bt_body(c):
+                i, a_arr, done = c
+                feas = feas_at(a_arr)
+                newdone = jnp.logical_or(done > 0, feas)
+                a_arr = jnp.where(newdone, a_arr, a_arr * step_bt)
+                killed = jnp.logical_and(jnp.logical_not(newdone),
+                                         a_arr < alpha_min)
+                a_arr = jnp.where(killed, 0.0, a_arr)
+                return (i + 1, a_arr,
+                        jnp.logical_or(newdone, killed).astype(
+                            jnp.float32))
+
+            _, alpha, _ = lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.int32(0), alpha,
+                 jnp.zeros((S8, L128), jnp.float32)))
             return alpha
 
+        def barrier_at(z, s, dz, ds, tau, kappa, dtau, dkappa, a_arr):
+            """Total barrier at the shifted point, f32 (reference:
+            src/variables.jl:46-72; the <1 safeguard check is
+            tolerance-insensitive, docs/DEVIATIONS.md)."""
+            af = a_arr
+            cur_tau = tau.hi + af * dtau.hi
+            cur_kappa = kappa.hi + af * dkappa.hi
+            zs = z.hi + af * dz.hi
+            ss = s.hi + af * ds.hi
+            sz = _fsum0(zs * ss)
+            mu_a = (sz + cur_tau * cur_kappa) / (degree + 1)
+            bar = ((degree + 1) * _logsafe32(mu_a)
+                   - _logsafe32(cur_tau) - _logsafe32(cur_kappa))
+            for seg_i, (kind, lo, hi) in enumerate(segs):
+                zg, sg = zs[lo:hi], ss[lo:hi]
+                if kind == "zero":
+                    continue
+                if kind == "nn":
+                    bar = bar - _fsum0(_logsafe32(sg * zg))
+                elif kind == "soc":
+                    rs = sg[0] * sg[0] - _fsum0(sg[1:] * sg[1:])
+                    rz = zg[0] * zg[0] - _fsum0(zg[1:] * zg[1:])
+                    bar = bar + jnp.where(
+                        jnp.logical_and(rs > 0, rz > 0),
+                        -0.5 * _logsafe32(rs * rz), _BIG)
+                else:
+                    a = seg_alphas[seg_i]
+                    bar = bar + _nonsym_barrier32(
+                        kind, a, zg[0], zg[1], zg[2],
+                        sg[0], sg[1], sg[2])
+            return bar
+
+        def _nonsym_barrier32(kind, a, z1, z2, z3, s1, s2, s3):
+            """f*(z) + f(s) for one 3-d cone, f32 (reference:
+            coneops_expcone.jl:223-310, coneops_powcone.jl:217-326)."""
+            if kind == "exp":
+                l = _logsafe32(-z3 / jnp.where(z1 != 0, z1, -1.0))
+                bd = (-_logsafe32(-z3 * z1)
+                      - _logsafe32(z2 - z1 - z1 * l))
+                dfeas = jnp.logical_and(
+                    jnp.logical_and(z3 > 0, z1 < 0),
+                    z2 - z1 - z1 * l > 0)
+                s2s = jnp.where(s2 > 0, s2, 1.0)
+                s3s = jnp.where(s3 > 0, s3, 1.0)
+                arg = 1.0 - s1 / s2s - _logsafe32(s2s / s3s)
+                w = _wright_omega32(jnp.maximum(arg, 0.0))
+                wm = (w - 1.0) ** 2 / jnp.where(w != 0, w, 1.0)
+                bp = (-_logsafe32(wm) - 2.0 * _logsafe32(s2)
+                      - _logsafe32(s3) - 3.0)
+                pfeas = jnp.logical_and(
+                    jnp.logical_and(s3 > 0, s2 > 0),
+                    s2 * _logsafe32(s3 / s2s) - s1 > 0)
+            else:
+                a32 = np.float32(a)
+                phid = jnp.exp(2 * a32 * _logsafe32(z1 / a32)
+                               + (2 - 2 * a32)
+                               * _logsafe32(z2 / (1 - a32)))
+                resd = phid - z3 * z3
+                bd = (-_logsafe32(resd) - (1 - a32) * _logsafe32(z1)
+                      - a32 * _logsafe32(z2))
+                dfeas = jnp.logical_and(
+                    jnp.logical_and(z1 > 0, z2 > 0), resd > 0)
+                # primal barrier via the dual barrier of -grad_primal
+                # (reference: coneops_powcone.jl:310-317); the f32 NR
+                # suffices for a <1 safeguard check
+                x32, big, absf = _pow_nr32(s1, s2, s3, a)
+                g3 = jnp.where(big, jnp.sign(s3) * x32, 0.0)
+                g1 = jnp.where(big, -(a32 * g3 * s3 + 1.0 + a32) / s1,
+                               -(1.0 + a32) / s1)
+                g2 = jnp.where(big,
+                               -((1 - a32) * g3 * s3 + 2.0 - a32) / s2,
+                               -(2.0 - a32) / s2)
+                phig = jnp.exp(2 * a32 * _logsafe32(-g1 / a32)
+                               + (2 - 2 * a32)
+                               * _logsafe32(-g2 / (1 - a32)))
+                bp = (_logsafe32(phig - g3 * g3)
+                      + (1 - a32) * _logsafe32(-g1)
+                      + a32 * _logsafe32(-g2) - 3.0)
+                resp = jnp.exp(2 * a32 * _logsafe32(s1)
+                               + (2 - 2 * a32) * _logsafe32(s2)) \
+                    - s3 * s3
+                pfeas = jnp.logical_and(
+                    jnp.logical_and(s1 > 0, s2 > 0), resp > 0)
+            bd = jnp.where(dfeas, bd, _BIG)
+            bp = jnp.where(pfeas, bp, _BIG)
+            return bd + bp
+
         def affine_ds(state, s):
-            """ds = lambda o lambda (coneops_compositecone.jl:153)."""
+            """ds = lambda o lambda (symmetric) or s (nonsymmetric)
+            (reference: coneops_compositecone.jl:153-165)."""
             out = []
             for stg, (kind, sg) in zip(state, seg_slices(s)):
                 if kind == "zero":
                     out.append(ar.zeros(sg.hi.shape))
+                    continue
+                if kind in ("exp", "pow"):
+                    out.append(sg)
                     continue
                 lam = stg["lam"]
                 if kind == "nn":
@@ -1006,15 +1593,152 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     out.append(_vcat([_vstack([x0]), x1]))
             return _vcat(out)
 
+        def _hd_solve_guarded(Hd, b3):
+            """u = H_dual^{-1} b with the reference's finite fallback to
+            0 (coneops_expcone.jl:319-327 via mathutils chol3)."""
+            F, okc = chol3_fac(Hd)
+            u = chol3_solve_fac(F, b3)
+            fin = functools.reduce(jnp.logical_and,
+                                   [jnp.isfinite(ui.hi) for ui in u])
+            fin = jnp.logical_and(fin, okc)
+            return [ar.where(fin, ui, ar.zeros((S8, L128)))
+                    for ui in u]
+
+        def _finite_or_zero3(eta, ok=None):
+            """Zero the 3rd-order correction where its f32 hi word left
+            representable range.  Near an active cone boundary psi -> 0
+            and the correction's psi^-3 intermediates exceed f32's
+            ~1e38 span (the reference computes them in f64's 1e308);
+            a blown eta corrupts the combined direction and collapses
+            the step length to 0 — measured as every pow lane
+            terminating INSUFFICIENT_PROGRESS one iteration short of
+            convergence.  Dropping eta keeps the sigma*mu*g(z)
+            centering shift, which is the essential part at that
+            stage."""
+            fin = functools.reduce(jnp.logical_and,
+                                   [jnp.isfinite(e.hi) for e in eta])
+            if ok is not None:
+                fin = jnp.logical_and(fin, ok)
+            return [ar.where(fin, e, ar.zeros((S8, L128)))
+                    for e in eta]
+
+        def exp_higher_corr(Hd, Zc, ds3, v3):
+            """3rd-order correction η (reference:
+            coneops_expcone.jl:319-366)."""
+            u = _hd_solve_guarded(Hd, ds3)
+            z1, z2, z3 = Zc
+            gpsi3 = -z1 / z3
+            gpsi1 = nslogsafe(gpsi3)
+            psi = z1 * gpsi1 - z1 + z2
+            # same noise-floor guard as pow_higher_corr: psi is a
+            # cancellation of O(|z|) terms; below its df noise the
+            # psi^-3 correction is garbage
+            psi_scale = (ar.dabs(z1 * gpsi1) + ar.dabs(z1)
+                         + ar.dabs(z2)).hi
+            psi_ok = psi.hi > np.float32(1e-9) * psi_scale
+            psi = ar.where(psi_ok, psi, 1.0)
+            gpsi = [gpsi1, ar.lift(jnp.ones((S8, L128), jnp.float32)),
+                    gpsi3]
+            dpu = dot3(gpsi, u)
+            dpv = dot3(gpsi, v3)
+            ipsi = ar.recip(psi)
+            ipsi2 = ipsi * ipsi
+            iz1 = ar.recip(z1)
+            iz3 = ar.recip(z3)
+            coef = ((u[0] * (v3[0] * iz1 - v3[2] * iz3)
+                     + u[2] * (z1 * v3[2] * iz3 - v3[0]) * iz3) * psi
+                    - dpu * dpv * 2.0) * (ipsi2 * ipsi)
+            eta = [g * coef for g in gpsi]
+            eta0 = eta[0] + (
+                (ipsi - iz1 * 2.0) * u[0] * v3[0] * (iz1 * iz1)
+                - u[2] * v3[2] * (iz3 * iz3) * ipsi
+                + dpu * ipsi2 * (v3[0] * iz1 - v3[2] * iz3)
+                + dpv * ipsi2 * (u[0] * iz1 - u[2] * iz3))
+            eta2 = eta[2] + (
+                (z1 * ipsi - 1.0) * u[2] * v3[2]
+                * (iz3 * iz3 * iz3) * 2.0
+                - (u[2] * v3[0] + u[0] * v3[2]) * (iz3 * iz3) * ipsi
+                + dpu * ipsi2 * (z1 * v3[2] * (iz3 * iz3) - v3[0] * iz3)
+                + dpv * ipsi2 * (z1 * u[2] * (iz3 * iz3)
+                                 - u[0] * iz3))
+            return _finite_or_zero3([eta0 * 0.5, eta[1] * 0.5,
+                                     eta2 * 0.5], psi_ok)
+
+        def pow_higher_corr(Hd, Zc, a, ds3, v3):
+            """3rd-order correction η (reference:
+            coneops_powcone.jl:329-404)."""
+            u = _hd_solve_guarded(Hd, ds3)
+            z1, z2, z3 = Zc
+            phi = pow_phi_dual(Zc, a)
+            psi = phi - z3 * z3
+            # near an active boundary psi is the cancellation of two
+            # ~equal O(phi) terms; once it sinks below the double-float
+            # noise floor of that cancellation the psi^-3 terms are
+            # garbage (and can overflow the f32 hi word) — suppress the
+            # correction there, keeping the sigma*mu*g(z) shift
+            psi_ok = psi.hi > np.float32(1e-9) * (phi.hi
+                                                  + (z3 * z3).hi)
+            psi = ar.where(psi_ok, psi, 1.0)
+            iz1, iz2 = ar.recip(z1), ar.recip(z2)
+            gpsi = [phi * iz1 * (2.0 * a),
+                    phi * iz2 * (2.0 - 2.0 * a), z3 * (-2.0)]
+            Hp11 = phi * (iz1 * iz1) * (2.0 * a * (2.0 * a - 1.0))
+            Hp12 = phi * (iz1 * iz2) * (4.0 * a * (1.0 - a))
+            Hp22 = phi * (iz2 * iz2) \
+                * (2.0 * (1.0 - a) * (1.0 - 2.0 * a))
+            dpu = dot3(gpsi, u)
+            dpv = dot3(gpsi, v3)
+            Hv = [Hp11 * v3[0] + Hp12 * v3[1],
+                  Hp12 * v3[0] + Hp22 * v3[1],
+                  v3[2] * (-2.0)]
+            uHv = u[0] * Hv[0] + u[1] * Hv[1] + u[2] * Hv[2]
+            ipsi = ar.recip(psi)
+            ipsi2 = ipsi * ipsi
+            coef = (uHv * psi - dpu * dpv * 2.0) * (ipsi2 * ipsi)
+            coef2 = (phi * (u[0] * iz1 - u[1] * iz2)
+                     * (v3[0] * iz1 - v3[1] * iz2) * ipsi
+                     * (4.0 * a * (2.0 * a - 1.0) * (1.0 - a)))
+            e1 = (coef * gpsi[0]
+                  - u[0] * v3[0] * (iz1 * iz1 * iz1)
+                  * (2.0 * (1.0 - a))
+                  + coef2 * iz1 + Hv[0] * dpu * ipsi2)
+            e2 = (coef * gpsi[1]
+                  - u[1] * v3[1] * (iz2 * iz2 * iz2) * (2.0 * a)
+                  - coef2 * iz2 + Hv[1] * dpu * ipsi2)
+            e3 = coef * gpsi[2] + Hv[2] * dpu * ipsi2
+            Hu = [Hp11 * u[0] + Hp12 * u[1],
+                  Hp12 * u[0] + Hp22 * u[1],
+                  u[2] * (-2.0)]
+            return _finite_or_zero3(
+                [(e1 + Hu[0] * dpv * ipsi2) * 0.5,
+                 (e2 + Hu[1] * dpv * ipsi2) * 0.5,
+                 (e3 + Hu[2] * dpv * ipsi2) * 0.5], psi_ok)
+
         def combined_ds_shift(state, dz_mc, ds, sigma_mu):
-            """W^{-1}ds o W dz - sigma*mu*e (reference:
-            coneops_symmetric_common.jl:2-35)."""
+            """W^{-1}ds o W dz - sigma*mu*e (symmetric; reference:
+            coneops_symmetric_common.jl:2-35) or sigma*mu*g(z) - eta
+            (nonsymmetric; coneops_nonsymmetric_common.jl:38-47)."""
             out = []
-            for stg, (kind, lo, hi) in zip(state, segs):
+            for seg_i, (stg, (kind, lo, hi)) in enumerate(
+                    zip(state, segs)):
                 if kind == "zero":
                     out.append(ar.zeros((hi - lo, S8, L128)))
                     continue
                 dzg, dsg = dz_mc[lo:hi], ds[lo:hi]
+                if kind in ("exp", "pow"):
+                    ds3 = [dsg[0], dsg[1], dsg[2]]
+                    v3 = [dzg[0], dzg[1], dzg[2]]
+                    if kind == "exp":
+                        eta = exp_higher_corr(stg["Hd"], stg["z"],
+                                              ds3, v3)
+                    else:
+                        eta = pow_higher_corr(stg["Hd"], stg["z"],
+                                              seg_alphas[seg_i],
+                                              ds3, v3)
+                    out.append(_vstack(
+                        [stg["g"][j] * sigma_mu - eta[j]
+                         for j in range(3)]))
+                    continue
                 if kind == "nn":
                     out.append(dzg * dsg - sigma_mu)
                 else:
@@ -1041,15 +1765,18 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return _vcat(out)
 
         def ds_from_dz_offset(state, dsv, z):
-            """out = W'(lambda \\ ds) stable form (reference:
-            coneops_socone.jl:241-268, coneops_compositecone.jl:185-202)."""
+            """out = W'(lambda \\ ds) stable form (symmetric; reference:
+            coneops_socone.jl:241-268, coneops_compositecone.jl:185-202)
+            or ds unchanged (nonsymmetric)."""
             out = []
             for stg, (kind, lo, hi) in zip(state, segs):
                 if kind == "zero":
                     out.append(ar.zeros((hi - lo, S8, L128)))
                     continue
                 dsg, zg = dsv[lo:hi], z[lo:hi]
-                if kind == "nn":
+                if kind in ("exp", "pow"):
+                    out.append(dsg)
+                elif kind == "nn":
                     out.append(dsg / zg)
                 else:
                     w, eta, lam = stg["w"], stg["eta"], stg["lam"]
@@ -1179,17 +1906,19 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     OUTD = n + 2 * m + 13
 
     def pc_step(ops, x, z, s, tau, kappa, tinv, res, mu, iters1,
-                refine_passes):
+                refine_passes, strat=None):
         """One Mehrotra predictor-corrector step (shared by both
         precision phases): scaling update, condensed KKT factor, fused
         2-RHS affine solve, corrector solve, tau recovery, step length.
         Returns (dx, dz, dsv, dtau, dkappa, alpha, sigma, kkt_fail)
-        with alpha already scaled by max_step_fraction."""
+        with alpha already scaled by max_step_fraction.  `strat` (per
+        lane) selects primal-dual vs dual scaling on nonsymmetric
+        cones."""
         ar = ops.ar
         qe, be = ops.dat.qe, ops.dat.be
         Pcols = ops.dat.Pcols
 
-        state, ok_scale = ops.make_scaling(s, z)
+        state, ok_scale = ops.make_scaling(s, z, mu, strat)
         eps = ops.eps_of(ops.hs_diag_hi(state))
         apply1, kktmv1, ok_chol = ops.build_kkt(state, eps)
         ok_kkt = jnp.logical_and(ok_scale, ok_chol)
@@ -1277,6 +2006,35 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         amax = jnp.minimum(jnp.minimum(a_tau, a_kap), 1.0)
         alpha = ops.step_length(dz, dsv, z, s, amax)
         alpha = alpha * np.float32(st.max_step_fraction)
+        if has_nonsym:
+            # extra barrier backtrack for asymmetric dual scaling
+            # (reference: src/solver.jl:407-442); applied to lanes on
+            # the Dual strategy
+            step_bt = np.float32(st.linesearch_backtrack_step)
+            ls_max = int(st.linesearch_max_iter)
+
+            def bb_cond(c):
+                i, a_arr, done = c
+                return jnp.logical_and(i < ls_max,
+                                       jnp.logical_not(jnp.min(done)))
+
+            def bb_body(c):
+                i, a_arr, done = c
+                bar = ops.barrier_at(z, s, dz, dsv, tau, kappa,
+                                     dtau, dkappa, a_arr)
+                good = bar < 1.0
+                newdone = jnp.logical_or(done > 0, good)
+                a_arr = jnp.where(newdone, a_arr, a_arr * step_bt)
+                return (i + 1, a_arr, newdone.astype(jnp.float32))
+
+            _, alpha_bt, _ = lax.while_loop(
+                bb_cond, bb_body,
+                (jnp.int32(0), alpha,
+                 jnp.zeros((S8, L128), jnp.float32)))
+            if strat is not None:
+                alpha = jnp.where(strat == DUAL, alpha_bt, alpha)
+            else:
+                alpha = alpha_bt
         return dx, dz, dsv, dtau, dkappa, alpha, sigma, kkt_fail
 
     # ------------------------------------------------------------------
@@ -1390,23 +2148,62 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return _debug_out(qe, be, be)
 
         # ---- initial point (reference: src/solver.jl:383-404) ----
-        eps0 = ops64.eps_of(jnp.ones((m, S8, L128), jnp.float32))
-        apply0, kktmv0, ok0 = ops64.build_kkt(None, eps0)
-        if p_nonzero:
-            sols, _ok = ops64.refined_solve(apply0, kktmv0,
-                                            [(-qe, be)], refine_df)
-            x0, z0 = sols[0]
-            s0 = -z0
+        if has_nonsym:
+            # asymmetric problems: unit initialization for EVERY cone
+            # (reference: src/solver.jl:400-403, variables.jl:213-226;
+            # mirrors cones/ops.unit_initialization).  Built from
+            # SCALAR fills only — Pallas kernels cannot capture array
+            # constants (same constraint as shift_to_interior).
+            def _row_const(v):
+                hi32 = np.float32(v)
+                lo32 = np.float32(float(v) - float(hi32))
+                return DF(jnp.full((1, S8, L128), hi32),
+                          jnp.full((1, S8, L128), lo32))
+
+            zparts = []
+            for seg_i, (kind, lo, hi) in enumerate(segs):
+                w = hi - lo
+                if kind == "zero":
+                    zparts.append(DF.zeros((w, S8, L128)))
+                elif kind == "nn":
+                    zparts.append(DF(jnp.ones((w, S8, L128),
+                                             jnp.float32)))
+                elif kind == "soc":
+                    zparts.append(_row_const(1.0))
+                    if w > 1:
+                        zparts.append(DF.zeros((w - 1, S8, L128)))
+                elif kind == "exp":
+                    # reference: coneops_expcone.jl:36-52
+                    for v in (-1.051383945322714, 0.556409619469370,
+                              1.258967884768947):
+                        zparts.append(_row_const(v))
+                else:
+                    a = seg_alphas[seg_i]
+                    zparts.append(_row_const(math.sqrt(1.0 + a)))
+                    zparts.append(_row_const(math.sqrt(2.0 - a)))
+                    zparts.append(DF.zeros((1, S8, L128)))
+            z0 = _vcat(zparts)
+            s0 = z0
+            x0 = DF.zeros((n, S8, L128))
         else:
-            zer_n = DF.zeros((n, S8, L128))
-            zer_m = DF.zeros((m, S8, L128))
-            sols, _ok = ops64.refined_solve(
-                apply0, kktmv0, [(zer_n, be), (-qe, zer_m)], refine_df)
-            x0, ms = sols[0]
-            s0 = -ms
-            z0 = sols[1][1]
-        s0 = ops64.shift_to_interior(s0, "primal")
-        z0 = ops64.shift_to_interior(z0, "dual")
+            eps0 = ops64.eps_of(jnp.ones((m, S8, L128), jnp.float32))
+            apply0, kktmv0, ok0 = ops64.build_kkt(None, eps0)
+            if p_nonzero:
+                sols, _ok = ops64.refined_solve(apply0, kktmv0,
+                                                [(-qe, be)], refine_df)
+                x0, z0 = sols[0]
+                s0 = -z0
+            else:
+                zer_n = DF.zeros((n, S8, L128))
+                zer_m = DF.zeros((m, S8, L128))
+                sols, _ok = ops64.refined_solve(
+                    apply0, kktmv0, [(zer_n, be), (-qe, zer_m)],
+                    refine_df)
+                x0, ms = sols[0]
+                s0 = -ms
+                z0 = sols[1][1]
+            s0 = ops64.shift_to_interior(s0, "primal")
+            z0 = ops64.shift_to_interior(z0, "dual")
         one = DF(jnp.ones((S8, L128), jnp.float32))
         tau0 = one
         kappa0 = one
@@ -1430,6 +2227,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             izero,                              # iters
             jnp.full((S8, L128), UNSOLVED, jnp.int32),  # status
             izero,                              # hand (phase-1 handoff)
+            # scaling strategy (nonsymmetric cones start PrimalDual and
+            # may downgrade to Dual; reference src/types.jl:73-76)
+            jnp.full((S8, L128), PRIMAL_DUAL, jnp.int32),
         )
 
         def unpack(c, ar):
@@ -1524,7 +2324,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     pxn[0], pxn[1], pzn[0], pzn[1], psn[0], psn[1],
                     ptaun[0], ptaun[1], pkapn[0], pkapn[1],
                     prev_rp_n, prev_rd_n, prev_ga_n, prev_gr_n,
-                    mu_n, alpha_n, sigma_n, iters1, status, hand_n)
+                    mu_n, alpha_n, sigma_n, iters1, status, hand_n,
+                    c[30])
 
         # ---- phase 2: double-float endgame + termination machine ----
         def loop_cond2(c):
@@ -1597,31 +2398,68 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     iters >= st.max_iter),
                 MAX_ITERATIONS, status2).astype(jnp.int32)
 
-            # rollback for insufficient progress (src/solver.jl:453-472;
-            # symmetric cones never downgrade, so insuff terminates)
-            restore = jnp.logical_and(active,
-                                      status2 == INSUFFICIENT_PROGRESS)
+            # rollback for insufficient progress (src/solver.jl:453-472)
+            # with the asymmetric strategy downgrade: a PrimalDual lane
+            # rolls back, switches to Dual, and CONTINUES; symmetric
+            # problems (and Dual lanes) terminate.
+            strat = c[30]
+            is_insuff = status2 == INSUFFICIENT_PROGRESS
+            restore = jnp.logical_and(active, is_insuff)
+            if has_nonsym:
+                can_dg = strat == PRIMAL_DUAL
+                downgraded_ip = jnp.logical_and(restore, can_dg)
+                status2 = jnp.where(downgraded_ip, UNSOLVED,
+                                    status2).astype(jnp.int32)
+                strat = jnp.where(downgraded_ip, DUAL,
+                                  strat).astype(jnp.int32)
             xr = df64.where(restore, px, x)
             zr = df64.where(restore, pz, z)
             sr_ = df64.where(restore, ps, s)
             taur = df64.where(restore, ptau, tau)
             kapr = df64.where(restore, pkap, kappa)
-
-            do = jnp.logical_and(active, status2 == UNSOLVED)
+            if has_nonsym:
+                # a downgraded lane skips this iteration's step (its
+                # direction was computed under the old scaling; the
+                # restored carry re-enters the loop on Dual — exactly
+                # the reference's checkpoint semantics)
+                do = jnp.logical_and(
+                    jnp.logical_and(active, status2 == UNSOLVED),
+                    jnp.logical_not(downgraded_ip))
+            else:
+                do = jnp.logical_and(active, status2 == UNSOLVED)
             iters1 = iters + jnp.where(do, 1, 0).astype(jnp.int32)
 
             # ---- phase B: scaling, KKT, predictor-corrector ----
             (dx, dz, dsv, dtau, dkappa, alpha, sigma,
-             kkt_fail) = pc_step(ops64, x, z, s, tau, kappa, tinv, res,
-                                 mu, iters1, refine_df)
+             kkt_fail) = pc_step(ops64, x, z, s, tau, kappa, tinv,
+                                 res, mu, iters1, refine_df,
+                                 strat if has_nonsym else None)
 
-            fail_status = jnp.where(kkt_fail, NUMERICAL_ERROR,
-                                    UNSOLVED).astype(jnp.int32)
+            # numerical-error checkpoint (reference: src/solver.jl:
+            # 475-489): PrimalDual lanes downgrade instead of erroring
+            if has_nonsym:
+                can_dg2 = strat == PRIMAL_DUAL
+                dg_fail = jnp.logical_and(kkt_fail, can_dg2)
+                fail_status = jnp.where(
+                    jnp.logical_and(kkt_fail, jnp.logical_not(can_dg2)),
+                    NUMERICAL_ERROR, UNSOLVED).astype(jnp.int32)
+            else:
+                dg_fail = jnp.zeros((S8, L128), bool)
+                fail_status = jnp.where(kkt_fail, NUMERICAL_ERROR,
+                                        UNSOLVED).astype(jnp.int32)
 
-            # small-step checkpoint (reference: src/solver.jl:492-505;
-            # no downgrade path for symmetric cones)
+            # small-step checkpoint (reference: src/solver.jl:492-505):
+            # PrimalDual lanes with alpha below min_switch downgrade
             small_term = alpha <= np.float32(
                 max(0.0, st.min_terminate_step_length))
+            if has_nonsym:
+                small_switch = jnp.logical_and(
+                    jnp.logical_and(can_dg2,
+                                    jnp.logical_not(kkt_fail)),
+                    alpha < np.float32(st.min_switch_step_length))
+                small_term = jnp.logical_and(
+                    small_term, jnp.logical_not(small_switch))
+                dg_fail = jnp.logical_or(dg_fail, small_switch)
             fail_status = jnp.where(
                 jnp.logical_and(
                     fail_status == UNSOLVED,
@@ -1630,6 +2468,13 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 INSUFFICIENT_PROGRESS, fail_status).astype(jnp.int32)
             take = jnp.logical_and(jnp.logical_not(kkt_fail),
                                    jnp.logical_not(small_term))
+            if has_nonsym:
+                take = jnp.logical_and(take,
+                                       jnp.logical_not(dg_fail))
+                strat = jnp.where(jnp.logical_and(do, dg_fail), DUAL,
+                                  strat).astype(jnp.int32)
+                fail_status = jnp.where(dg_fail, UNSOLVED,
+                                        fail_status).astype(jnp.int32)
             alpha_eff = jnp.where(take, alpha, 0.0)
             dotake = jnp.logical_and(do, take)
             a = DF(alpha_eff)
@@ -1660,7 +2505,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     pxn.hi, pxn.lo, pzn.hi, pzn.lo, psn.hi, psn.lo,
                     ptaun.hi, ptaun.lo, pkapn.hi, pkapn.lo,
                     prev_rp_n, prev_rd_n, prev_ga_n, prev_gr_n,
-                    mu_n, alpha_n, sigma_n, iters1, status_n, hand)
+                    mu_n, alpha_n, sigma_n, iters1, status_n, hand,
+                    strat)
 
         if _DEBUG_STAGE == 3:
             final = loop_body2(carry0)   # one unrolled body, no while
@@ -1878,18 +2724,41 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # lanes per dispatch.  The tunnel serializes transfers with compute
     # (measured: no overlap, docs/PERF.md), so fewer, larger dispatches
     # win — each extra dispatch pays the per-transfer latency floor
-    # again.  16 blocks also bounds compile time of the gridded kernel.
-    # 64 blocks = 65,536 lanes per dispatch: the Mosaic body compiles
-    # once regardless of grid size, HBM comfortably holds the 64-block
-    # working set (~100 MB of split-f32 inputs at n=6/m=13), and each
-    # extra dispatch pays the tunnel's per-transfer latency floor again.
-    CHUNK = 64 * BLOCK
+    # again.  The cap is a per-dispatch BYTE budget, not a flat block
+    # count: at the bench shape (n=6, m=13, A batch-constant) a lane's
+    # packed input is ~320 B and 64 blocks ≈ 100 MB, but at the
+    # eligibility cap (n=32, m=96, fully varying batch) a lane packs
+    # ~30 KB and a flat 64-block dispatch would stage ~2 GB of split-f32
+    # inputs — plus kernel state and chunk outputs held until
+    # device_get.  _chunk_lanes() sizes the dispatch from the actual
+    # packed width, rounded to a power-of-two block count so chunk
+    # shapes (and their compiled programs) stay few.
+    CHUNK_MAX_BLOCKS = 64
+    CHUNK_BYTE_BUDGET = 1 << 30  # ~1 GB staged per dispatch
+    # inputs (split f32 pair = 8 B/value) + in-kernel state + packed
+    # outputs retained across chunks, conservatively 4x the input bytes
+    CHUNK_WORK_FACTOR = 4
+
+    def _chunk_lanes(packed_width):
+        lane_bytes = max(packed_width, 1) * 8 * CHUNK_WORK_FACTOR
+        blocks = max(1, CHUNK_BYTE_BUDGET // (lane_bytes * BLOCK))
+        blocks = 1 << min(int(blocks).bit_length() - 1,
+                          CHUNK_MAX_BLOCKS.bit_length() - 1)
+        return blocks * BLOCK
 
     def prepare(P, q, A, b):
         """Host-side numpy prep shared by solve() and benchmarks:
         pad to a BLOCK multiple, build column-major flats, collapse
         batch-constant components, pack the varying ones into ONE
-        array.  Returns (B, Bp, packed, shared4)."""
+        array.  Returns (B, Bp, packed, shared4).
+
+        P may be full-symmetric OR upper-triangular: the triu(i<=j)
+        extraction reads identical values under either convention, so
+        no symmetrization pass is needed (host prep was ~1 s of the
+        B=65536 wall before this — docs/PERF.md round 4).
+        Batch-constant components are detected on the RAW arrays
+        before any flatten/transpose, so a constant A (the common
+        batched regime) never pays its (B, n*m) copy."""
         P = np.asarray(P, np.float64)
         q = np.asarray(q, np.float64)
         A = np.asarray(A, np.float64)
@@ -1900,26 +2769,37 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         # the device-side _P_GATHER map
         tri_i = np.concatenate([np.arange(j + 1) for j in range(n)])
         tri_j = np.concatenate([np.full(j + 1, j) for j in range(n)])
-        flats = [
-            # triu of the (assumed-symmetric) P in tri(i,j)-packed order
-            np.ascontiguousarray(P[:, tri_i, tri_j]),
-            q.reshape(B, n),
-            np.ascontiguousarray(A.transpose(0, 2, 1)).reshape(B, n * m),
-            b.reshape(B, m),
+
+        def is_const(arr):
+            # cheap row probe rejects varying batches before the scan
+            return (arr.shape[0] > 1 and np.array_equal(arr[1], arr[0])
+                    and bool((arr == arr[0]).all()))
+
+        exts = [
+            (P, lambda x: np.ascontiguousarray(x[:, tri_i, tri_j])),
+            (q, lambda x: x.reshape(len(x), n)),
+            (A, lambda x: np.ascontiguousarray(
+                x.transpose(0, 2, 1)).reshape(len(x), n * m)),
+            (b, lambda x: x.reshape(len(x), m)),
         ]
-        if Bp != B:
-            flats = [np.concatenate([f, np.repeat(f[:1], Bp - B, 0)], 0)
-                     for f in flats]
-        comps = [_collapse(f) for f in flats]
-        shared = [c if c.shape[0] == 1 else np.zeros((0, c.shape[1]))
-                  for c in comps]
-        varying = [c for c in comps if c.shape[0] != 1]
+        shared, varying = [], []
+        for (raw, ext), d in zip(exts, _DIMS):
+            if is_const(raw):
+                shared.append(ext(raw[:1]))
+            else:
+                f = ext(raw)
+                if Bp != B:
+                    f = np.concatenate(
+                        [f, np.repeat(f[:1], Bp - B, 0)], 0)
+                shared.append(np.zeros((0, d)))
+                varying.append(f)
         packed = (np.concatenate(varying, axis=1) if varying
                   else np.zeros((Bp, 0)))
         return B, Bp, packed, shared
 
     def solve(P, q, A, b):
         B, Bp, packed, shared = prepare(P, q, A, b)
+        CHUNK = _chunk_lanes(packed.shape[1])
         if Bp <= CHUNK:
             outs = [_solve_padded(packed, *shared)]
         else:

@@ -1,0 +1,127 @@
+"""On-TPU regression for nonsymmetric (exp/pow) cones in the megakernel:
+the Mosaic-compiled fused kernel vs the vmapped XLA loop on one fixed
+batch (round-4 extension; reference: coneops_expcone.jl,
+coneops_powcone.jl, coneops_nonsymmetric_common.jl).
+
+The CPU tier (tests/test_megakernel_nonsym.py) runs the same block
+function through AOT XLA; this tier certifies the Mosaic lowering of the
+log/exp double-float chains, the in-kernel NR/backtracking while_loops,
+and the strategy-machine carry on real hardware.
+"""
+
+import numpy as np
+
+from clarabel_tpu import (
+    BatchSolver, ExponentialConeT, NonnegativeConeT, PowerConeT,
+    Settings, SolverStatus,
+)
+
+SOLVED = int(SolverStatus.SOLVED)
+ALMOST = int(SolverStatus.ALMOST_SOLVED)
+
+
+def _exp_batch(B, seed=0):
+    n = 3
+    rng = np.random.default_rng(seed)
+    F = rng.standard_normal((B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", F, F) + 0.5 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    A = np.zeros((B, 5, n))
+    A[:, 0, 0] = 1.0
+    A[:, 1, 1] = 1.0
+    A[:, 2, 0] = 1.0
+    A[:, 3, 1] = 1.0
+    A[:, 4, 2] = 1.0
+    b = np.zeros((B, 5))
+    b[:, 0] = 2.0
+    b[:, 1] = 2.0
+    b[:, 2] = rng.uniform(-0.5, 0.5, B)
+    b[:, 3] = rng.uniform(1.5, 2.5, B)
+    b[:, 4] = rng.uniform(2.0, 3.0, B)
+    return P, q, A, b, [NonnegativeConeT(2), ExponentialConeT()], n
+
+
+def _check(out, ref, P, q, A, b, max_almost):
+    B = len(q)
+    assert np.all((out.status == SOLVED) | (out.status == ALMOST)), \
+        out.status
+    solved = out.status == SOLVED
+    assert solved.sum() >= B - max_almost
+    for i in np.nonzero(solved)[0]:
+        if ref.status[i] == SOLVED:
+            assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6
+            # flat optima: x wanders ~1e-4 between valid solutions
+            # whose objectives/KKT residuals agree (see CPU tier)
+            np.testing.assert_allclose(out.x[i], ref.x[i], atol=5e-4)
+        rp = np.linalg.norm(A[i] @ out.x[i] + out.s[i] - b[i])
+        rd = np.linalg.norm(P[i] @ out.x[i] + q[i] + A[i].T @ out.z[i])
+        assert rp < 1e-7 and rd < 1e-7, (i, rp, rd)
+
+
+def test_exp_megakernel_on_tpu():
+    B = 64
+    P, q, A, b, cones, n = _exp_batch(B, seed=3)
+    out = BatchSolver(cones, n,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
+    _check(out, ref, P, q, A, b, max_almost=B // 4)
+
+
+def test_mixed_exp_pow_megakernel_on_tpu():
+    """Mixed exp+pow layout (CPU-tier-excluded: XLA:CPU compiles the
+    two-nonsym-segment fused body pathologically slowly; Mosaic is
+    fine)."""
+    n = 4
+    B = 64
+    rng = np.random.default_rng(3)
+    F = rng.standard_normal((B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", F, F) + 0.5 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    m = 8
+    A = np.zeros((B, m, n))
+    for r, c in ((0, 0), (1, 1), (2, 0), (3, 1), (4, 2), (5, 1),
+                 (6, 2), (7, 3)):
+        A[:, r, c] = 1.0
+    b = np.zeros((B, m))
+    b[:, 0] = 2.0
+    b[:, 1] = 2.0
+    b[:, 2] = rng.uniform(-0.4, 0.4, B)
+    b[:, 3] = rng.uniform(1.5, 2.5, B)
+    b[:, 4] = rng.uniform(2.0, 3.0, B)
+    b[:, 5] = rng.uniform(2.0, 3.0, B)
+    b[:, 6] = rng.uniform(2.0, 3.0, B)
+    b[:, 7] = rng.uniform(-0.3, 0.3, B)
+    cones = [NonnegativeConeT(2), ExponentialConeT(), PowerConeT(0.4)]
+    out = BatchSolver(cones, n,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
+    _check(out, ref, P, q, A, b, max_almost=B // 4)
+
+
+def test_pow_megakernel_on_tpu():
+    n = 3
+    B = 64
+    rng = np.random.default_rng(5)
+    F = rng.standard_normal((B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", F, F) + 0.5 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    A = np.zeros((B, 5, n))
+    A[:, 0, 0] = 1.0
+    A[:, 1, 1] = 1.0
+    A[:, 2, 0] = 1.0
+    A[:, 3, 1] = 1.0
+    A[:, 4, 2] = 1.0
+    b = np.zeros((B, 5))
+    b[:, 0] = 3.0
+    b[:, 1] = 3.0
+    b[:, 2] = rng.uniform(2.0, 3.0, B)
+    b[:, 3] = rng.uniform(2.0, 3.0, B)
+    b[:, 4] = rng.uniform(-0.3, 0.3, B)
+    cones = [NonnegativeConeT(2), PowerConeT(0.6)]
+    out = BatchSolver(cones, n,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
+    _check(out, ref, P, q, A, b, max_almost=B // 4)
