@@ -45,7 +45,11 @@ import numpy as np
 
 BASELINE_ESTIMATE_SOLVES_PER_SEC = 2000.0  # generous native-CPU estimate
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
-BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 16384))
+BATCH_MID = int(os.environ.get("BENCH_BATCH_MID", 16384))
+# one dispatch covers up to 64 blocks = 65,536 lanes (megakernel
+# _chunk_lanes); the largest single-dispatch batch amortizes the
+# tunnel's fixed costs best (round 4: 50.0k solves/s vs 45.2k at 16384)
+BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 65536))
 N = 6  # variables per instance
 
 
@@ -122,19 +126,23 @@ def main():
             "mean_iters": round(float(np.mean(out.iterations)), 2),
         }
 
-    # warm-up / compile both shapes (chunked dispatch reuses one program)
+    data_mid = tuple(a[:BATCH_MID] for a in data_big)
+
+    # warm-up / compile all shapes (chunked dispatch reuses programs)
     bs.solve(*data)
     if mode == "mega":
+        bs.solve(*data_mid)
         bs.solve(*data_big)
 
     r_small = timed(data)
     results = {str(BATCH): r_small}
     best = r_small
     if mode == "mega":
-        r_big = timed(data_big)
-        results[str(BATCH_BIG)] = r_big
-        if r_big["solves_per_sec"] > best["solves_per_sec"]:
-            best = r_big
+        for dat, key in ((data_mid, BATCH_MID), (data_big, BATCH_BIG)):
+            r = timed(dat)
+            results[str(key)] = r
+            if r["solves_per_sec"] > best["solves_per_sec"]:
+                best = r
 
     # batched equality-constrained QP through the fused kernel (zero +
     # nonnegative cones — round-3 megakernel eligibility extension; the
@@ -168,6 +176,53 @@ def main():
                 1),
             "solved": int(np.sum(oq.status == int(SolverStatus.SOLVED))),
             "wall_s": round(dtq, 3),
+        }
+
+    # batched exponential-cone problems through the fused kernel
+    # (round-4 megakernel extension: nonsymmetric cones with dual /
+    # primal-dual scalings, 3rd-order corrections, and the strategy
+    # machine in-kernel; reference src/cones/coneops_expcone.jl)
+    exp_cfg = None
+    if mode == "mega":
+        from clarabel_tpu import ExponentialConeT
+
+        rng = np.random.default_rng(2)
+        Be = BATCH
+        ne = 3
+        Fe = rng.standard_normal((Be, ne, ne)) / np.sqrt(ne)
+        Pe = np.einsum("bij,bkj->bik", Fe, Fe) + 0.5 * np.eye(ne)
+        qe = -np.abs(rng.standard_normal((Be, ne))) - 0.5
+        Ae = np.zeros((Be, 5, ne))
+        Ae[:, 0, 0] = 1.0
+        Ae[:, 1, 1] = 1.0
+        Ae[:, 2, 0] = 1.0
+        Ae[:, 3, 1] = 1.0
+        Ae[:, 4, 2] = 1.0
+        be = np.zeros((Be, 5))
+        be[:, 0] = 2.0
+        be[:, 1] = 2.0
+        be[:, 2] = rng.uniform(1.0, 2.0, Be)
+        be[:, 3] = rng.uniform(2.0, 3.0, Be)
+        be[:, 4] = rng.uniform(3.0, 5.0, Be)
+        exp_cones = [NonnegativeConeT(2), ExponentialConeT()]
+        # no rescue: the rate counts certified-SOLVED lanes only.  The
+        # float-float precision class leaves ~10-25% of exp lanes
+        # ALMOST_SOLVED at the full 1e-8 gap (the XLA-f64-emulation
+        # loop behaves identically; native-f64 CPU closes them), so a
+        # CPU rescue here would time the host, not the chip.
+        be_s = BatchSolver(exp_cones, ne, settings)
+        be_s.solve(Pe, qe, Ae, be)  # warm
+        t0 = time.perf_counter()
+        oe = be_s.solve(Pe, qe, Ae, be)
+        dte = time.perf_counter() - t0
+        ok_e = int(np.sum(oe.status == int(SolverStatus.SOLVED)))
+        exp_cfg = {
+            "batch": Be,
+            "solves_per_sec": round(ok_e / dte, 1),
+            "solved": ok_e,
+            "almost": int(np.sum(
+                oe.status == int(SolverStatus.ALMOST_SOLVED))),
+            "wall_s": round(dte, 3),
         }
 
     # device-resident kernel rate (no tunnel, no rescue): the deployment
@@ -207,6 +262,7 @@ def main():
         "mean_iters": best["mean_iters"],
         "b_scaling": results,
         "qp_eq_zero_cone": qp_eq,
+        "exp_cone_batched": exp_cfg,
         "kernel_solves_per_sec": kernel_rate,
         "baseline_solves_per_sec": base_rate,
         "baseline_measured_cpu_1core": (

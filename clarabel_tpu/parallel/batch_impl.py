@@ -61,6 +61,15 @@ def _next_pow2(k: int) -> int:
     return 1 << max(0, (k - 1)).bit_length()
 
 
+def _symmetrize_triu(P):
+    """(B, n, n) per-instance P_sym = triu(P,1) + triu(P,1)' + diag(P):
+    accepts either full-symmetric or upper-triangular input."""
+    U = np.triu(P, 1)
+    eye = np.eye(P.shape[-1])
+    diag = np.diagonal(P, axis1=-2, axis2=-1)
+    return U + np.swapaxes(U, -1, -2) + diag[..., None, :] * eye
+
+
 class BatchSolver:
     """Batched solver over instances sharing one cone layout.
 
@@ -188,7 +197,10 @@ class BatchSolver:
         # compiled rescue shape even as the failed-lane count wiggles
         Bp = min(max(32, _next_pow2(len(idx))), B)
         pad = np.resize(idx, Bp)  # cycle failed lanes to fill the pad
+        # the mega path passes P through raw (triu or full-symmetric);
+        # symmetrize just the rescued slice — idempotent on symmetric P
         rargs = [np.ascontiguousarray(arr[pad]) for arr in (P, q, A, b)]
+        rargs[0] = _symmetrize_triu(rargs[0])
         if self._rescue_device is not None:
             rargs = [jax.device_put(a, self._rescue_device) for a in rargs]
         rout = jax.device_get(self._rescue_fn(*rargs))
@@ -215,20 +227,21 @@ class BatchSolver:
         if P is None:
             P = np.zeros((np.asarray(q).shape[0], self.n, self.n))
         P = np.asarray(P, np.float64)
-        # symmetrize-triu per instance: P_sym = triu(P,1) + triu(P,1)' + diag(P)
-        U = np.triu(P, 1)
-        eye = np.eye(P.shape[-1])
-        diag = np.diagonal(P, axis1=-2, axis2=-1)
-        P = U + np.swapaxes(U, -1, -2) + diag[..., None, :] * eye
         q, A, b = np.asarray(q), np.asarray(A), np.asarray(b)
         t0 = time.perf_counter()
         import jax
 
         if self._mega_fn is not None:
             # LazyOutputs: eager fields already fetched (one packed
-            # transfer); z/s/diagnostics stay on device until read
+            # transfer); z/s/diagnostics stay on device until read.
+            # P passes through RAW: the kernel's triu extraction reads
+            # identical values for full-symmetric or upper-triangular
+            # input, so the (B, n, n) symmetrization pass (a ~150 MB
+            # numpy sweep at B=65536) is skipped on this path; the
+            # rescue symmetrizes its own few-lane slice.
             out = self._mega_fn(P, q, A, b)
         elif self._batch_minor:
+            P = _symmetrize_triu(P)
             out = self._solve_fn(
                 P.transpose(1, 2, 0), q.T, A.transpose(1, 2, 0), b.T
             )
@@ -237,6 +250,7 @@ class BatchSolver:
             out = jax.device_get(out)
             out = {k: np.moveaxis(v, -1, 0) for k, v in out.items()}
         else:
+            P = _symmetrize_triu(P)
             out = jax.device_get(self._solve_fn(P, q, A, b))
 
         if self._rescue_fn is not None:
