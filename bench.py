@@ -48,8 +48,11 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 BATCH_MID = int(os.environ.get("BENCH_BATCH_MID", 16384))
 # one dispatch covers up to 64 blocks = 65,536 lanes (megakernel
 # _chunk_lanes); the largest single-dispatch batch amortizes the
-# tunnel's fixed costs best (round 4: 50.0k solves/s vs 45.2k at 16384)
+# tunnel's fixed costs best, and two dispatches at 131,072 amortize a
+# little further still (round 4: 77.3k at 65536, 79.6k at 131072 —
+# both chunks reuse the same compiled 64-block program)
 BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 65536))
+BATCH_XL = int(os.environ.get("BENCH_BATCH_XL", 131072))
 N = 6  # variables per instance
 
 
@@ -135,6 +138,7 @@ def main():
                 best = r
         return best
 
+    data_xl = make_batch(BATCH_XL, N) if mode == "mega" else None
     data_mid = tuple(a[:BATCH_MID] for a in data_big)
 
     # warm-up / compile all shapes (chunked dispatch reuses programs)
@@ -147,7 +151,8 @@ def main():
     results = {str(BATCH): r_small}
     best = r_small
     if mode == "mega":
-        for dat, key in ((data_mid, BATCH_MID), (data_big, BATCH_BIG)):
+        for dat, key in ((data_mid, BATCH_MID), (data_big, BATCH_BIG),
+                         (data_xl, BATCH_XL)):
             r = timed(dat)
             results[str(key)] = r
             if r["solves_per_sec"] > best["solves_per_sec"]:
