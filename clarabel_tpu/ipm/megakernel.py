@@ -44,8 +44,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..cones.api import (ExponentialConeT, NonnegativeConeT,
-                         PowerConeT, SecondOrderConeT, ZeroConeT)
+from ..cones.api import (ExponentialConeT, GenPowerConeT,
+                         NonnegativeConeT, PowerConeT,
+                         SecondOrderConeT, ZeroConeT)
 from ..cones.layout import ConeLayout
 from ..statuscodes import SolverStatus
 from ..linalg.df64 import DF, df, split_f64, join_f64
@@ -139,12 +140,19 @@ def eligible(layout: ConeLayout, settings, n: int) -> bool:
     for c in layout.cones:
         if not isinstance(c, (ZeroConeT, NonnegativeConeT,
                               SecondOrderConeT, ExponentialConeT,
-                              PowerConeT)):
+                              PowerConeT, GenPowerConeT)):
             return False
         if isinstance(c, SecondOrderConeT) and c.dim < 2:
             return False
         if isinstance(c, (ExponentialConeT, PowerConeT)):
             n_nonsym += 1
+        if isinstance(c, GenPowerConeT):
+            # unrolled per-row scalar math: bound the width, and charge
+            # the wider per-cone state against the nonsym budget
+            w_g = len(c.alpha) + c.dim2
+            if w_g > 16:
+                return False
+            n_nonsym += 1 + w_g // 3
     # nonsymmetric segments carry per-cone 3x3 scaling state and
     # log/exp-heavy updates in-kernel; bound their count separately and
     # charge their state (grad + H_dual + Hs + chol factor + z copy,
@@ -489,8 +497,14 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     st = settings
     two_phase = bool(getattr(st, "megakernel_two_phase", True))
     has_zero = any(isinstance(c, ZeroConeT) for c in layout.cones)
-    has_nonsym = any(isinstance(c, (ExponentialConeT, PowerConeT))
+    has_nonsym = any(isinstance(c, (ExponentialConeT, PowerConeT,
+                                    GenPowerConeT))
                      for c in layout.cones)
+    # genpow allows dual scaling only; its presence pins the whole
+    # composite to the Dual strategy (reference:
+    # coneops_genpowcone.jl:21, ipm/loop.py allows_pd)
+    allows_pd = not any(isinstance(c, GenPowerConeT)
+                        for c in layout.cones)
     if has_zero:
         # zero-cone rows enter the condensed system as 1/eps ~ 1e8
         # (mirroring kkt/condensed.py + cones/ops.mul_Hs_inv): the
@@ -511,8 +525,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
 
     # static cone segments (contiguous by ConeLayout construction);
     # seg_alphas carries the pow cone's trace-time-constant exponent
+    # (a float) or the genpow cone's (alpha tuple, dim2)
     segs: List[Tuple[str, int, int]] = []
-    seg_alphas: List[float] = []
+    seg_alphas: List = []
     for cone, (lo, hi) in zip(layout.cones, layout.ranges):
         alpha_c = None
         if isinstance(cone, ZeroConeT):
@@ -524,6 +539,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
         elif isinstance(cone, PowerConeT):
             kind = "pow"
             alpha_c = float(cone.alpha)
+        elif isinstance(cone, GenPowerConeT):
+            kind = "genpow"
+            alpha_c = (tuple(float(a) for a in cone.alpha),
+                       int(cone.dim2))
         else:
             kind = "soc"
         segs.append((kind, lo, hi))
@@ -801,6 +820,148 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                           ar.lift(np.float32(-(2.0 - a))) / s2)
             return [g1, g2, g3]
 
+        # ---- generalized power cone (dual-scaling only; reference:
+        # coneops_genpowcone.jl, mirrored from cones/nonsymmetric.py
+        # _genpow_* in per-lane scalar form; alpha/dim2 are trace-time
+        # constants per segment) ----
+
+        def genpow_phi_dual(U, al):
+            acc = None
+            for j, a in enumerate(al):
+                t = nslogsafe(U[j] / a) * (2.0 * a)
+                acc = t if acc is None else acc + t
+            return ar.exp(acc)
+
+        def genpow_feas_dual(U, V, al):
+            ok = functools.reduce(jnp.logical_and,
+                                  [u.hi > 0 for u in U])
+            res = genpow_phi_dual(U, al)
+            for v in V:
+                res = res - v * v
+            return jnp.logical_and(ok, res.hi > 0)
+
+        def genpow_feas_primal(S1, S2, al):
+            ok = functools.reduce(jnp.logical_and,
+                                  [s.hi > 0 for s in S1])
+            acc = None
+            for j, a in enumerate(al):
+                t = nslogsafe(S1[j]) * (2.0 * a)
+                acc = t if acc is None else acc + t
+            res = ar.exp(acc)
+            for s2 in S2:
+                res = res - s2 * s2
+            return jnp.logical_and(ok, res.hi > 0)
+
+        def genpow_state(U, V, al, mu):
+            """Dual gradient + the rank-3 Hs data (D, p, q, r)
+            (reference: coneops_genpowcone.jl:337-389)."""
+            d1 = len(al)
+            phi = genpow_phi_dual(U, al)
+            norm2w = None
+            for v in V:
+                t = v * v
+                norm2w = t if norm2w is None else norm2w + t
+            if norm2w is None:
+                norm2w = ar.zeros((S8, L128))
+            zeta = phi - norm2w
+            feas = functools.reduce(
+                jnp.logical_and,
+                [u.hi > 0 for u in U] + [zeta.hi > 0])
+            zs = ar.where(zeta.hi > 0, zeta, 1.0)
+            izeta = ar.recip(zs)
+            phiz = phi * izeta
+            tau = [ar.recip(U[j]) * (2.0 * al[j]) for j in range(d1)]
+            g_head = [-tau[j] * phiz - (1.0 - al[j]) / U[j]
+                      for j in range(d1)]
+            g_tail = [v * (izeta * 2.0) for v in V]
+            dd = ([tau[j] * phiz / U[j]
+                   + (1.0 - al[j]) / (U[j] * U[j]) for j in range(d1)]
+                  + [izeta * 2.0 for _ in V])
+            p0 = ar.sqrt(ar.dmax(phi * (phi + norm2w) * 0.5, 0.0))
+            p0s = ar.where(p0.hi > 0, p0, 1.0)
+            p1 = -(phi * 2.0) / p0s
+            pvec = ([p0 * tau[j] * izeta for j in range(d1)]
+                    + [p1 * v * izeta for v in V])
+            q0 = ar.sqrt(ar.dmax(zs * phi * 0.5, 0.0))
+            qvec = [tau[j] * q0 * izeta for j in range(d1)]
+            r1 = ar.sqrt(ar.dmax((zs / (phi + norm2w)) * 4.0, 0.0))
+            rvec = [r1 * v * izeta for v in V]
+            fin = functools.reduce(jnp.logical_and, [
+                jnp.isfinite(x.hi) for x in
+                g_head + g_tail + dd + pvec + qvec + rvec])
+            return {"kind": "genpow", "g": g_head + g_tail, "dd": dd,
+                    "p": pvec, "q": qvec, "r": rvec, "mu": mu,
+                    "d1": d1}, jnp.logical_and(feas, fin)
+
+        def genpow_hs_apply(stg, v):
+            """y = mu*(D v + p(p'v) - [q(q'v_h);0] - [0;r(r'v_t)])."""
+            d1 = stg["d1"]
+            dd, p, qv, rv, mu = (stg["dd"], stg["p"], stg["q"],
+                                 stg["r"], stg["mu"])
+            w = len(dd)
+            cp = None
+            for j in range(w):
+                t = p[j] * v[j]
+                cp = t if cp is None else cp + t
+            cq = None
+            for j in range(d1):
+                t = qv[j] * v[j]
+                cq = t if cq is None else cq + t
+            cr = None
+            for k in range(w - d1):
+                t = rv[k] * v[d1 + k]
+                cr = t if cr is None else cr + t
+            out = []
+            for j in range(w):
+                y = dd[j] * v[j] + p[j] * cp
+                if j < d1:
+                    y = y - qv[j] * cq
+                elif cr is not None:
+                    y = y - rv[j - d1] * cr
+                out.append(y * mu)
+            return out
+
+        def genpow_hinv_apply(stg, v):
+            """(mu H)^-1 v via three Sherman-Morrison rank-1 updates on
+            the diagonal base (mirrors cones/ops.mul_Hs_inv genpow)."""
+            d1 = stg["d1"]
+            dd, mu = stg["dd"], stg["mu"]
+            w = len(dd)
+            idd = [ar.recip(d) for d in dd]
+            p_full = stg["p"]
+            q_full = (stg["q"]
+                      + [ar.zeros((S8, L128)) for _ in range(w - d1)])
+            r_full = ([ar.zeros((S8, L128)) for _ in range(d1)]
+                      + stg["r"])
+
+            def base_inv(x):
+                return [x[j] * idd[j] for j in range(w)]
+
+            inv = base_inv
+            for u, sgn in ((p_full, 1.0), (q_full, -1.0),
+                           (r_full, -1.0)):
+                Au = inv(u)
+                uAu = None
+                for j in range(w):
+                    t = u[j] * Au[j]
+                    uAu = t if uAu is None else uAu + t
+                denom = uAu * sgn + 1.0
+                denom = ar.where(denom.hi != 0, denom, 1.0)
+                idenom = ar.recip(denom)
+
+                def inv(x, prev=inv, u=u, Au=Au, idenom=idenom,
+                        sgn=sgn):
+                    Ax = prev(x)
+                    uAx = None
+                    for j in range(w):
+                        t = u[j] * Ax[j]
+                        uAx = t if uAx is None else uAx + t
+                    coef = uAx * idenom * sgn
+                    return [Ax[j] - Au[j] * coef for j in range(w)]
+
+            imu = ar.recip(stg["mu"])
+            return [y * imu for y in inv(v)]
+
         def hmul3(H, v):
             h11, h12, h13, h22, h23, h33 = H
             return [h11 * v[0] + h12 * v[1] + h13 * v[2],
@@ -928,6 +1089,18 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 if kind == "zero":
                     state.append({"kind": "zero"})
                     continue
+                if kind == "genpow":
+                    al, d2 = seg_alphas[seg_i]
+                    d1 = len(al)
+                    U = [zg[j] for j in range(d1)]
+                    V = [zg[d1 + k] for k in range(d2)]
+                    stg, okg = genpow_state(U, V, al, mu)
+                    okg = jnp.logical_and(okg, genpow_feas_primal(
+                        [sg[j] for j in range(d1)],
+                        [sg[d1 + k] for k in range(d2)], al))
+                    ok = jnp.logical_and(ok, okg)
+                    state.append(stg)
+                    continue
                 if kind in ("exp", "pow"):
                     a = seg_alphas[seg_i]
                     S3 = [sg[0], sg[1], sg[2]]
@@ -1025,6 +1198,17 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     h = stg["Hs"]
                     parts.append(jnp.stack(
                         [h[0].hi, h[3].hi, h[5].hi], axis=0))
+                elif stg["kind"] == "genpow":
+                    d1 = stg["d1"]
+                    rows = []
+                    for j in range(len(stg["dd"])):
+                        t = stg["dd"][j] + stg["p"][j] * stg["p"][j]
+                        if j < d1:
+                            t = t - stg["q"][j] * stg["q"][j]
+                        else:
+                            t = t - stg["r"][j - d1] * stg["r"][j - d1]
+                        rows.append((t * stg["mu"]).hi)
+                    parts.append(jnp.stack(rows, axis=0))
                 else:
                     w, eta2 = stg["w"], stg["eta2"]
                     w2 = 2.0 * w.hi * w.hi
@@ -1052,6 +1236,11 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     sol = chol3_solve_fac(state[i]["F"],
                                           [vg[0], vg[1], vg[2]])
                     out.append(_vstack(sol))
+                elif kind == "genpow":
+                    w = vg.hi.shape[0]
+                    sol = genpow_hinv_apply(
+                        state[i], [vg[j] for j in range(w)])
+                    out.append(_vstack(sol))
                 else:
                     stg = state[i]
                     wbar = stg["wbar"]
@@ -1074,6 +1263,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 elif kind in ("exp", "pow"):
                     out.append(_vstack(hmul3(state[i]["Hs"],
                                              [vg[0], vg[1], vg[2]])))
+                elif kind == "genpow":
+                    w = vg.hi.shape[0]
+                    out.append(_vstack(genpow_hs_apply(
+                        state[i], [vg[j] for j in range(w)])))
                 else:
                     stg = state[i]
                     w = stg["w"]
@@ -1415,7 +1608,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             coneops_nonsymmetric_common.jl:5-34)."""
             alpha = amax
             for kind, lo, hi in segs:
-                if kind in ("zero", "exp", "pow"):
+                if kind in ("zero", "exp", "pow", "genpow"):
                     continue
                 dzg, dsg = dz.hi[lo:hi], ds.hi[lo:hi]
                 zg, sg = z.hi[lo:hi], s.hi[lo:hi]
@@ -1449,9 +1642,21 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 ad = ar.lift(a_arr)
                 okf = jnp.ones((S8, L128), bool)
                 for seg_i, (kind, lo, hi) in enumerate(segs):
-                    if kind not in ("exp", "pow"):
+                    if kind not in ("exp", "pow", "genpow"):
                         continue
                     a = seg_alphas[seg_i]
+                    if kind == "genpow":
+                        al, d2 = a
+                        d1 = len(al)
+                        Zt = [z[lo + j] + ad * dz[lo + j]
+                              for j in range(d1 + d2)]
+                        St = [s[lo + j] + ad * ds[lo + j]
+                              for j in range(d1 + d2)]
+                        okf = jnp.logical_and(okf, genpow_feas_dual(
+                            Zt[:d1], Zt[d1:], al))
+                        okf = jnp.logical_and(okf, genpow_feas_primal(
+                            St[:d1], St[d1:], al))
+                        continue
                     Zt = [z[lo + j] + ad * dz[lo + j] for j in range(3)]
                     St = [s[lo + j] + ad * ds[lo + j] for j in range(3)]
                     if kind == "exp":
@@ -1511,6 +1716,9 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     bar = bar + jnp.where(
                         jnp.logical_and(rs > 0, rz > 0),
                         -0.5 * _logsafe32(rs * rz), _BIG)
+                elif kind == "genpow":
+                    al, d2 = seg_alphas[seg_i]
+                    bar = bar + _genpow_barrier32(al, d2, zg, sg)
                 else:
                     a = seg_alphas[seg_i]
                     bar = bar + _nonsym_barrier32(
@@ -1573,6 +1781,113 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             bp = jnp.where(pfeas, bp, _BIG)
             return bd + bp
 
+        def _genpow_barrier32(al, d2, zg, sg):
+            """f*(z) + f(s) for one genpow cone, f32 (reference:
+            coneops_genpowcone.jl:237-316; primal via the NR gradient
+            and the dual barrier of -g)."""
+            d1 = len(al)
+            a32 = [np.float32(a) for a in al]
+
+            def phi_dual32(rows):
+                acc = 0.0
+                for j, a in enumerate(a32):
+                    acc = acc + 2.0 * a * _logsafe32(rows[j] / a)
+                return jnp.exp(acc)
+
+            z1 = [zg[j] for j in range(d1)]
+            z2 = [zg[d1 + k] for k in range(d2)]
+            phid = phi_dual32(z1)
+            n2z = functools.reduce(jnp.add, [v * v for v in z2]) \
+                if d2 else jnp.zeros((S8, L128), jnp.float32)
+            resd = phid - n2z
+            bd = -_logsafe32(resd)
+            for j, a in enumerate(a32):
+                bd = bd - (1.0 - a) * _logsafe32(z1[j])
+            dfeas = functools.reduce(
+                jnp.logical_and, [zj > 0 for zj in z1] + [resd > 0])
+
+            s1 = [sg[j] for j in range(d1)]
+            s2 = [sg[d1 + k] for k in range(d2)]
+            lphi = 0.0
+            for j, a in enumerate(a32):
+                lphi = lphi + 2.0 * a * _logsafe32(s1[j])
+            phi32 = jnp.exp(lphi)
+            n2r = functools.reduce(jnp.add, [v * v for v in s2]) \
+                if d2 else jnp.zeros((S8, L128), jnp.float32)
+            norm_r = jnp.sqrt(jnp.maximum(n2r, 0.0))
+            eps32 = np.float32(np.finfo(np.float32).eps)
+            big = norm_r > eps32
+            nr = jnp.where(big, norm_r, 1.0)
+            psi_c = np.float32(1.0 / sum(a * a for a in al))
+            den0 = jnp.where(jnp.abs(phi32 - nr * nr) > 0,
+                             phi32 - nr * nr, 1.0)
+            x0 = -1.0 / nr + (
+                psi_c * nr + jnp.sqrt(jnp.maximum(
+                    (phi32 / (nr * nr) + psi_c * psi_c - 1.0) * phi32,
+                    0.0))) / den0
+
+            def f0_32(x):
+                v = -_logsafe32(2.0 * x / nr + x * x)
+                for j, a in enumerate(a32):
+                    v = v + 2.0 * a * (
+                        _logsafe32(x * nr + (1.0 + a) / a)
+                        - _logsafe32(s1[j]))
+                return v
+
+            def f1_32(x):
+                t1 = x * x
+                t2 = 2.0 * x / nr
+                v = -(2.0 * x + 2.0 / nr) / jnp.where(
+                    t1 + t2 != 0, t1 + t2, 1.0)
+                for a in a32:
+                    v = v + 2.0 * a * nr / (nr * x + (1.0 + a) / a)
+                return v
+
+            def nr_cond(c):
+                i, x, done = c
+                return jnp.logical_and(i < 50,
+                                       jnp.logical_not(jnp.min(done)))
+
+            def nr_body(c):
+                i, x, done = c
+                d1_ = f1_32(x)
+                d1s = jnp.where(d1_ != 0, d1_, 1.0)
+                dx = -f0_32(x) / d1s
+                stop = functools.reduce(jnp.logical_or, [
+                    dx < eps32,
+                    jnp.abs(dx / jnp.where(x != 0, x, 1.0))
+                    < np.float32(np.sqrt(np.finfo(np.float32).eps)),
+                    jnp.abs(d1_) < eps32])
+                x = jnp.where(jnp.logical_or(done > 0, stop), x, x + dx)
+                return (i + 1, x,
+                        jnp.logical_or(done > 0, stop).astype(
+                            jnp.float32))
+
+            _, g1, _ = lax.while_loop(
+                nr_cond, nr_body,
+                (jnp.int32(0), x0,
+                 jnp.zeros((S8, L128), jnp.float32)))
+            gr = [jnp.where(big, g1 * s2[k] / nr, 0.0)
+                  for k in range(d2)]
+            gp = [jnp.where(big,
+                            -(1.0 + a + a * g1 * norm_r) / s1[j],
+                            -(1.0 + a) / s1[j])
+                  for j, a in zip(range(d1), a32)]
+            # primal barrier = -dual_barrier(-g) - (d1 + 1)
+            phig = phi_dual32([-g for g in gp])
+            n2g = functools.reduce(jnp.add, [v * v for v in gr]) \
+                if d2 else jnp.zeros((S8, L128), jnp.float32)
+            bd_g = -_logsafe32(phig - n2g)
+            for j, a in enumerate(a32):
+                bd_g = bd_g - (1.0 - a) * _logsafe32(-gp[j])
+            bp = -bd_g - np.float32(d1 + 1.0)
+            pfeas = functools.reduce(
+                jnp.logical_and,
+                [sj > 0 for sj in s1] + [phi32 - n2r > 0])
+            bd = jnp.where(dfeas, bd, _BIG)
+            bp = jnp.where(pfeas, bp, _BIG)
+            return bd + bp
+
         def affine_ds(state, s):
             """ds = lambda o lambda (symmetric) or s (nonsymmetric)
             (reference: coneops_compositecone.jl:153-165)."""
@@ -1581,7 +1896,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 if kind == "zero":
                     out.append(ar.zeros(sg.hi.shape))
                     continue
-                if kind in ("exp", "pow"):
+                if kind in ("exp", "pow", "genpow"):
                     out.append(sg)
                     continue
                 lam = stg["lam"]
@@ -1725,6 +2040,12 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     out.append(ar.zeros((hi - lo, S8, L128)))
                     continue
                 dzg, dsg = dz_mc[lo:hi], ds[lo:hi]
+                if kind == "genpow":
+                    # no 3rd-order correction for genpow (reference:
+                    # coneops_genpowcone.jl combined_ds_shift)
+                    out.append(_vstack(
+                        [gj * sigma_mu for gj in stg["g"]]))
+                    continue
                 if kind in ("exp", "pow"):
                     ds3 = [dsg[0], dsg[1], dsg[2]]
                     v3 = [dzg[0], dzg[1], dzg[2]]
@@ -1774,7 +2095,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     out.append(ar.zeros((hi - lo, S8, L128)))
                     continue
                 dsg, zg = dsv[lo:hi], z[lo:hi]
-                if kind in ("exp", "pow"):
+                if kind in ("exp", "pow", "genpow"):
                     out.append(dsg)
                 elif kind == "nn":
                     out.append(dsg / zg)
@@ -2177,6 +2498,12 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     for v in (-1.051383945322714, 0.556409619469370,
                               1.258967884768947):
                         zparts.append(_row_const(v))
+                elif kind == "genpow":
+                    al, d2 = seg_alphas[seg_i]
+                    for a in al:
+                        zparts.append(_row_const(math.sqrt(1.0 + a)))
+                    if d2:
+                        zparts.append(DF.zeros((d2, S8, L128)))
                 else:
                     a = seg_alphas[seg_i]
                     zparts.append(_row_const(math.sqrt(1.0 + a)))
@@ -2228,8 +2555,10 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             jnp.full((S8, L128), UNSOLVED, jnp.int32),  # status
             izero,                              # hand (phase-1 handoff)
             # scaling strategy (nonsymmetric cones start PrimalDual and
-            # may downgrade to Dual; reference src/types.jl:73-76)
-            jnp.full((S8, L128), PRIMAL_DUAL, jnp.int32),
+            # may downgrade to Dual; genpow pins the composite to Dual;
+            # reference src/types.jl:73-76, ipm/loop.py scaling0)
+            jnp.full((S8, L128),
+                     PRIMAL_DUAL if allows_pd else DUAL, jnp.int32),
         )
 
         def unpack(c, ar):

@@ -12,8 +12,8 @@ import numpy as np
 import pytest
 
 from clarabel_tpu import (
-    BatchSolver, ExponentialConeT, NonnegativeConeT, PowerConeT,
-    Settings, SolverStatus,
+    BatchSolver, ExponentialConeT, GenPowerConeT, NonnegativeConeT,
+    PowerConeT, Settings, SolverStatus,
 )
 from clarabel_tpu.cones.layout import ConeLayout
 from clarabel_tpu.ipm import megakernel
@@ -122,9 +122,42 @@ def test_eligibility_nonsym():
         ConeLayout([NonnegativeConeT(2), ExponentialConeT()]), st, 3)
     assert megakernel.eligible(
         ConeLayout([PowerConeT(0.3), NonnegativeConeT(1)]), st, 3)
-    # bounded nonsym count
+    assert megakernel.eligible(
+        ConeLayout([NonnegativeConeT(2),
+                    GenPowerConeT((0.3, 0.7), 2)]), st, 4)
+    # bounded nonsym count / genpow width
     assert not megakernel.eligible(
         ConeLayout([ExponentialConeT()] * 17), st, 8)
+    assert not megakernel.eligible(
+        ConeLayout([GenPowerConeT((0.25,) * 4, 14)]), st, 8)
+
+
+def test_genpow_matches_loop():
+    """Dual-only scaling path end to end (genpow pins the whole
+    composite to the Dual strategy; reference:
+    coneops_genpowcone.jl:21)."""
+    n = 4
+    B = 8
+    rng = np.random.default_rng(4)
+    F = rng.standard_normal((B, n, n)) / np.sqrt(n)
+    P = np.einsum("bij,bkj->bik", F, F) + 0.5 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    m = 6
+    A = np.zeros((B, m, n))
+    for r, c in ((0, 0), (1, 1), (2, 0), (3, 1), (4, 2), (5, 3)):
+        A[:, r, c] = 1.0
+    b = np.zeros((B, m))
+    b[:, 0] = 3.0
+    b[:, 1] = 3.0
+    b[:, 2] = rng.uniform(2.0, 3.0, B)
+    b[:, 3] = rng.uniform(2.0, 3.0, B)
+    b[:, 4] = rng.uniform(-0.3, 0.3, B)
+    b[:, 5] = rng.uniform(-0.3, 0.3, B)
+    cones = [NonnegativeConeT(2), GenPowerConeT((0.3, 0.7), 2)]
+    solvers = (BatchSolver(cones, n,
+                           Settings(kkt_backend="megakernel")),
+               BatchSolver(cones, n, Settings()))
+    _compare((P, q, A, b, cones, n), solvers)
 
 
 def test_exp_matches_loop(exp_pair):
