@@ -273,6 +273,21 @@ _INV_LN2 = np.float32(1.4426950408889634)
 # (ln2/2)^14 / 14! ~ 2^-57 < the ~2^-49 double-float ulp
 _EXP_TERMS = 14
 
+# ln2 split into 16/16/24/24-bit chunks (values verified against a
+# 200-bit reference; combined residual 1.2e-26).  The first two chunks
+# have 16-bit mantissas, so k * chunk is EXACT in f32 for the integer
+# |k| <= 128 the reduction produces (7 + 16 <= 24 mantissa bits); the
+# third chunk's product is made exact with a two_prod.  The previous
+# reduction multiplied k by a ~2^-49-rounded DF ln2, putting an
+# |k|*2^-49*ln2 ~ 1.4e-13 ABSOLUTE error into r — which is a 1.4e-13
+# RELATIVE error on exp(a), 500x the df ulp, and was the precision
+# floor of every barrier/log chain in the nonsymmetric cone kernels
+# (docs/STATUS.md round-4 "float-float ALMOST class").
+_LN2_C1 = np.float32(0.693145751953125)          # 16-bit mantissa
+_LN2_C2 = np.float32(1.4286197256296873e-06)     # 16-bit mantissa
+_LN2_C3 = np.float32(-1.2905320041778356e-11)
+_LN2_C4 = np.float32(-2.2829879883612685e-19)
+
 
 def _pow2_exact(k):
     """2^k for integer-valued f32 k in [-252, 254], EXACTLY, as a pair
@@ -302,11 +317,21 @@ def exp(a: DF) -> DF:
     logs/ratios).  a.hi <= -87 underflows to 0, a.hi >= 89 returns inf
     — both in line with jnp.exp(f32) semantics."""
     k = jnp.round(a.hi * _INV_LN2)
-    r = a - DF.const(_LN2) * DF(k)
-    # Horner in df: sum_{i=0..N} r^i / i!
+    # r = a - k*ln2 with the chunked ln2: k*c1 and k*c2 are exact f32
+    # products, k*c3 is made exact by a two_prod, k*c4's rounding is
+    # ~1e-24 absolute — the reduction error is now below the df ulp
+    r = a - k * _LN2_C1
+    r = r - k * _LN2_C2
+    p3, e3 = _two_prod(k, _LN2_C3)
+    r = r - DF(p3, e3)
+    r = r - k * _LN2_C4
+    # Taylor sum as (1 + r) + r^2*P(r): P's Horner roundings are
+    # relative to |P| <= 0.54 and scale by r^2 <= 0.12, keeping the
+    # accumulated error near the df ulp of the O(1) result
     acc = DF.const(1.0 / float(math.factorial(_EXP_TERMS)))
-    for i in range(_EXP_TERMS - 1, -1, -1):
+    for i in range(_EXP_TERMS - 1, 1, -1):
         acc = acc * r + DF.const(1.0 / float(math.factorial(i)))
+    acc = acc * (r * r) + r + 1.0
     s1, s2 = _pow2_exact(k)
     out = DF(acc.hi * s1 * s2, acc.lo * s1 * s2)
     # saturate outside the reduced range instead of trusting the series
@@ -316,16 +341,29 @@ def exp(a: DF) -> DF:
 
 
 def log(a: DF) -> DF:
-    """Double-float log by Newton refinement of the f32 estimate against
-    the df exp: y ← y + a·exp(−y) − 1.  Two iterations take the f32
-    estimate's ~1e-7 relative error to ~1e-14 and then below the df ulp
-    (quadratic convergence).  Domain: a > 0; a <= 0 returns -inf on hi
-    (mirrors cones/_logsafe guarding at call sites)."""
+    """Double-float log: exact power-of-two mantissa extraction
+    a = m·2^k (m ∈ [1,2), both limbs scaled exactly), Newton refinement
+    of the f32 estimate of log m against the df exp (y ← y + m·e^{−y}−1;
+    two quadratic iterations reach the df ulp), then log a = k·ln2 + y.
+    Working on the mantissa keeps e^{−y} in (0.5, 1] — the previous
+    whole-argument Newton underflowed e^{−y}'s lo limb for a outside
+    ~[1e-30, 1e30] (f32's subnormal floor is 1e-38), degrading to ~1e-9
+    absolute error exactly where the nonsymmetric cone barriers evaluate
+    wide ratios.  Domain: a > 0; a <= 0 returns -inf on hi (mirrors
+    cones/_logsafe guarding at call sites)."""
     pos = a.hi > 0
     safe = where(pos, a, DF(jnp.ones_like(a.hi)))
-    y = DF(jnp.log(jnp.where(pos, a.hi, 1.0)))
+    # exponent of hi from its bits (clipped to the normal range: a
+    # subnormal hi just leaves m < 1, which the Newton handles)
+    e = ((jax.lax.bitcast_convert_type(safe.hi, jnp.int32) >> 23)
+         & 0xFF) - 127
+    e = jnp.clip(e, -126, 127).astype(jnp.float32)
+    s1, s2 = _pow2_exact(-e)
+    m = DF(safe.hi * s1 * s2, safe.lo * s1 * s2)   # exact scaling
+    y = DF(jnp.log(m.hi))
     for _ in range(2):
-        y = y + safe * exp(-y) - 1.0
+        y = y + m * exp(-y) - 1.0
+    y = y + DF.const(_LN2) * DF(e)
     neg_inf = jnp.full_like(a.hi, -np.inf)
     return DF(jnp.where(pos, y.hi, neg_inf),
               jnp.where(pos, y.lo, jnp.zeros_like(a.lo)))
@@ -352,6 +390,128 @@ def dsum(terms: Sequence[DF]) -> DF:
 
 def ddot(a: Sequence[DF], b: Sequence[DF]) -> DF:
     return dsum([x * y for x, y in zip(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# triple-float ("TF", f32-triple, ~2^-72) accumulation
+#
+# Purpose: the IPM's iterative refinement is limited by the PRECISION OF
+# THE RESIDUAL EVALUATION — the limiting forward error of refined solves
+# is ~eps_residual * kappa(K).  At df64's ~2^-49 that limit sits one
+# digit short of the reference's native-f64 endgame (measured: 10-25% of
+# exp/pow lanes stall ALMOST_SOLVED at gap ~1e-7 where f64 CPU reaches
+# 1e-8 — docs/STATUS.md round 4).  Evaluating r = b - K x with TF
+# products and accumulation pushes eps_residual to ~2^-72 and removes
+# the stall (the correction solve itself stays df64; standard
+# mixed-precision IR).  Only the ops the residual path needs exist:
+# DFxDF -> TF exact-ish products, TF sums, TF -> DF rounding.
+# (reference: src/kktsolvers/direct-ldl/directldl_defaults.jl runs
+# native f64 throughout; this is the TPU-native equivalent headroom.)
+# ---------------------------------------------------------------------------
+
+
+class TF:
+    """A triple-float value: elementwise hi + md + lo over f32 arrays,
+    non-overlapping (renormalized after every operation)."""
+
+    __slots__ = ("hi", "md", "lo")
+    __array_priority__ = 1001
+
+    def __init__(self, hi, md=None, lo=None):
+        self.hi = _f32(hi)
+        self.md = jnp.zeros_like(self.hi) if md is None else _f32(md)
+        self.lo = jnp.zeros_like(self.hi) if lo is None else _f32(lo)
+
+    @staticmethod
+    def zeros(shape):
+        z = jnp.zeros(shape, jnp.float32)
+        return TF(z, z, z)
+
+    @staticmethod
+    def from_df(a: "DF") -> "TF":
+        return TF(a.hi, a.lo)
+
+    def to_df(self) -> "DF":
+        s, e = _quick_two_sum(self.hi, self.md + self.lo)
+        return DF(s, e)
+
+    def __getitem__(self, idx):
+        return TF(self.hi[idx], self.md[idx], self.lo[idx])
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    def __neg__(self):
+        return TF(-self.hi, -self.md, -self.lo)
+
+    def __add__(self, other):
+        o = other if isinstance(other, TF) else TF.from_df(_as_df(other))
+        s0, e0 = _two_sum(self.hi, o.hi)
+        s1, e1 = _two_sum(self.md, o.md)
+        s2 = self.lo + o.lo
+        t0, t1 = _two_sum(e0, s1)
+        lo = (t1 + e1) + s2
+        r0, r1 = _quick_two_sum(s0, t0)
+        r1, r2 = _quick_two_sum(r1, lo)
+        return TF(r0, r1, r2)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = other if isinstance(other, TF) else TF.from_df(_as_df(other))
+        return self + (-o)
+
+    def __rsub__(self, other):
+        return (-self) + other
+
+
+def tf_prod(a: "DF", b: "DF") -> TF:
+    """DF x DF -> TF with all cross terms error-free: the result carries
+    the full ~2^-72 product (a plain DF product rounds at ~2^-49)."""
+    a, b = _as_df(a), _as_df(b)
+    p0, e0 = _two_prod(a.hi, b.hi)
+    p1, e1 = _two_prod(a.hi, b.lo)
+    p2, e2 = _two_prod(a.lo, b.hi)
+    p3 = a.lo * b.lo
+    t0, t1 = _two_sum(p1, p2)
+    t0, t2 = _two_sum(t0, e0)
+    lo = ((t1 + t2) + (e1 + e2)) + p3
+    r0, r1 = _quick_two_sum(p0, t0)
+    r1, r2 = _quick_two_sum(r1, lo)
+    return TF(r0, r1, r2)
+
+
+def tf_scale(t: TF, d: "DF") -> TF:
+    """TF x DF -> TF with the three dominant cross terms error-free
+    (the t.md*d.lo / t.lo*d.hi / t.lo*d.lo tail is ~2^-96 relative and
+    accumulates in plain f32)."""
+    d = _as_df(d)
+    p0, e0 = _two_prod(t.hi, d.hi)
+    p1, e1 = _two_prod(t.hi, d.lo)
+    p2, e2 = _two_prod(t.md, d.hi)
+    rest = (t.md * d.lo + t.lo * d.hi) + (e1 + e2)
+    t0, t1 = _two_sum(p1, p2)
+    t0, t2 = _two_sum(t0, e0)
+    lo = (t1 + t2) + rest
+    r0, r1 = _quick_two_sum(p0, t0)
+    r1, r2 = _quick_two_sum(r1, lo)
+    return TF(r0, r1, r2)
+
+
+def tf_sum(terms) -> TF:
+    """Pairwise (tree) sum of a python list of TF values."""
+    items = [t if isinstance(t, TF) else TF.from_df(_as_df(t))
+             for t in terms]
+    if not items:
+        return TF.zeros(())
+    while len(items) > 1:
+        nxt = [items[i] + items[i + 1]
+               for i in range(0, len(items) - 1, 2)]
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
 
 
 # ---------------------------------------------------------------------------

@@ -176,49 +176,81 @@ class BatchSolver:
                         self.settings, factor_dtype="float64",
                         mixed_precision=False,
                     )
-                rescue_one = build_solve(
-                    self.layout, rs, n, p_nonzero=p_nonzero,
-                    kkt_backend=backend,
-                )
-                self._rescue_fn = jax.jit(jax.vmap(rescue_one))
+                # rescue CASCADE: the primary (same-backend) pass closes
+                # nearly every marginal lane; genuinely hard instances
+                # that stall even on native f64 with default settings
+                # (measured: 2 of 65536 on the bench distribution) fall
+                # through to alternate backend/equilibration configs —
+                # each stage only ever sees the lanes the previous
+                # stages left, and stages compile lazily on first use.
+                rs_ne = dataclasses.replace(rs, equilibrate_enable=False)
+                self._rescue_cfgs = [
+                    (backend, rs),
+                    ("ldl", dataclasses.replace(rs_ne,
+                                                kkt_backend="ldl")),
+                    ("condensed", dataclasses.replace(
+                        rs_ne, kkt_backend="condensed")),
+                ]
+                self._rescue_built = {}
+                self._rescue_pn = p_nonzero
+
+                def rescue_fn(stage):
+                    fn = self._rescue_built.get(stage)
+                    if fn is None:
+                        bk, st_ = self._rescue_cfgs[stage]
+                        fn = jax.jit(jax.vmap(build_solve(
+                            self.layout, st_, self.n,
+                            p_nonzero=self._rescue_pn, kkt_backend=bk)))
+                        self._rescue_built[stage] = fn
+                    return fn
+
+                self._rescue_fn = rescue_fn
 
     def _rescue_pass(self, out, P, q, A, b):
         """Re-solve the lanes that did not reach SOLVED with the accurate
-        (native-f64 / full-precision) configuration; keep whichever result
-        is better per lane.  Lanes are padded to the next power of two so
-        repeated rescues reuse a handful of compiled shapes."""
+        (native-f64 / full-precision) configurations; keep whichever
+        result is better per lane.  Lanes are padded to the next power of
+        two so repeated rescues reuse a handful of compiled shapes.
+        Stages of the cascade run only over the lanes the previous
+        stages left unsolved."""
         import jax
 
         B = out["status"].shape[0]
-        idx = np.nonzero(out["status"] != int(SolverStatus.SOLVED))[0]
-        if len(idx) == 0:
-            return out
-        # pad at least to 32 lanes: repeated solves then reuse one
-        # compiled rescue shape even as the failed-lane count wiggles
-        Bp = min(max(32, _next_pow2(len(idx))), B)
-        pad = np.resize(idx, Bp)  # cycle failed lanes to fill the pad
-        # the mega path passes P through raw (triu or full-symmetric);
-        # symmetrize just the rescued slice — idempotent on symmetric P
-        rargs = [np.ascontiguousarray(arr[pad]) for arr in (P, q, A, b)]
-        rargs[0] = _symmetrize_triu(rargs[0])
-        if self._rescue_device is not None:
-            rargs = [jax.device_put(a, self._rescue_device) for a in rargs]
-        rout = jax.device_get(self._rescue_fn(*rargs))
-        rstat = rout["status"][:len(idx)]
-        fixed = rstat == int(SolverStatus.SOLVED)
-        take = idx[fixed]
-        if len(take):
-            sel = np.nonzero(fixed)[0]
-            for k in list(out.keys()):
-                if k not in rout:
-                    continue  # backend-specific extras (e.g. raw_status)
-                merged = np.array(out[k])  # device_get buffers are read-only
-                merged[take] = rout[k][sel]
-                out[k] = merged
-            if hasattr(out, "merge_lanes"):
-                # megakernel LazyOutputs: z/s/diagnostics merge at
-                # materialization, so the rescue does not force a fetch
-                out.merge_lanes(take, sel, rout)
+        for stage in range(len(self._rescue_cfgs)):
+            idx = np.nonzero(
+                out["status"] != int(SolverStatus.SOLVED))[0]
+            if len(idx) == 0:
+                return out
+            # pad at least to 32 lanes: repeated solves then reuse one
+            # compiled rescue shape even as the failed-lane count wiggles
+            Bp = min(max(32, _next_pow2(len(idx))), B)
+            pad = np.resize(idx, Bp)  # cycle failed lanes to fill
+            # the mega path passes P through raw (triu/full-symmetric);
+            # symmetrize just the rescued slice — idempotent on
+            # symmetric P
+            rargs = [np.ascontiguousarray(arr[pad])
+                     for arr in (P, q, A, b)]
+            rargs[0] = _symmetrize_triu(rargs[0])
+            if self._rescue_device is not None:
+                rargs = [jax.device_put(a, self._rescue_device)
+                         for a in rargs]
+            rout = jax.device_get(self._rescue_fn(stage)(*rargs))
+            rstat = rout["status"][:len(idx)]
+            fixed = rstat == int(SolverStatus.SOLVED)
+            take = idx[fixed]
+            if len(take):
+                sel = np.nonzero(fixed)[0]
+                for k in list(out.keys()):
+                    if k not in rout:
+                        continue  # backend-specific extras
+                    merged = np.array(out[k])  # buffers are read-only
+                    merged[take] = rout[k][sel]
+                    out[k] = merged
+                if hasattr(out, "merge_lanes"):
+                    # megakernel LazyOutputs: z/s/diagnostics merge at
+                    # materialization, so the rescue does not force a
+                    # fetch
+                    out.merge_lanes(take, sel, rout)
         return out
 
     def solve(self, P, q, A, b) -> BatchSolution:

@@ -148,6 +148,14 @@ class Settings:
     # option for relaxed-tolerance workloads.
     megakernel_two_phase: bool = False
     megakernel_switch_mu: float = 1e-3
+    # triple-float (f32-triple, ~2^-72) residual evaluation inside the
+    # megakernel's double-float phase: the IPM rhs residuals and the
+    # iterative-refinement residuals are accumulated with error-free
+    # products (linalg/df64.TF), which removes the eps_df*kappa(K)
+    # limiting-accuracy wall of refined solves — the mechanism behind
+    # the round-4 "float-float ALMOST class" (docs/STATUS.md).  Costs
+    # ~2-3x on the residual matvecs only; default on.
+    megakernel_tf_residual: bool = True
     # stall detection at the accuracy floor.  The reference's
     # insufficient-progress check (src/info.jl:80-91) requires a strict
     # residual *increase* while the gap is already below tolerance; on

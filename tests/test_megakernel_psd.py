@@ -1,0 +1,111 @@
+"""PSD-triangle cones (sides <= 3) inside the fused megakernel
+(round-5 extension; reference coneops_psdtrianglecone.jl:78-143,
+190-254, 336-466): the fused kernel's in-kernel NT scaling (closed-form
+chol + lane-batched Jacobi eig) must agree with the XLA loop solver on
+batched small SDPs, completing the kernel's cone-family coverage.
+
+CPU tier: the same block function through AOT XLA (use_pallas=False
+path via BatchSolver on the cpu backend)."""
+
+import numpy as np
+import pytest
+
+from clarabel_tpu import (
+    BatchSolver, NonnegativeConeT, PSDTriangleConeT, Settings,
+    SolverStatus, ZeroConeT,
+)
+
+SOLVED = int(SolverStatus.SOLVED)
+ALMOST = int(SolverStatus.ALMOST_SOLVED)
+
+
+def _svec(M):
+    nd = M.shape[-1]
+    out = []
+    for c in range(nd):
+        for r in range(c + 1):
+            out.append(M[..., r, c] * (1.0 if r == c else np.sqrt(2.0)))
+    return np.stack(out, axis=-1)
+
+
+def _sdp_batch(B, nd, seed=0):
+    """min q'x + x'Px/2  s.t.  |x_i| <= 1,  B0 - sum x_i A_i psd."""
+    rng = np.random.default_rng(seed)
+    nx = 3
+    t = nd * (nd + 1) // 2
+    P = np.zeros((B, nx, nx))
+    F = rng.standard_normal((B, nx, nx)) / np.sqrt(nx)
+    P = np.einsum("bij,bkj->bik", F, F) + 0.3 * np.eye(nx)
+    q = rng.standard_normal((B, nx))
+    Amats = rng.standard_normal((B, nx, nd, nd))
+    Amats = Amats + np.swapaxes(Amats, -1, -2)
+    B0 = rng.standard_normal((B, nd, nd))
+    B0 = B0 + np.swapaxes(B0, -1, -2)
+    w = np.linalg.eigvalsh(B0)[:, 0]
+    B0 = B0 + (np.abs(w) + 1.0)[:, None, None] * np.eye(nd)
+    A = np.concatenate([
+        np.broadcast_to(np.eye(nx), (B, nx, nx)),
+        -np.broadcast_to(np.eye(nx), (B, nx, nx)),
+        np.stack([_svec(Amats[:, i]) for i in range(nx)], axis=-1),
+    ], axis=1)
+    b = np.concatenate([np.ones((B, 2 * nx)), _svec(B0)], axis=1)
+    cones = [NonnegativeConeT(2 * nx), PSDTriangleConeT(nd)]
+    return P, q, A, b, cones, nx
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_psd_megakernel_matches_loop(nd):
+    B = 32
+    P, q, A, b, cones, nx = _sdp_batch(B, nd, seed=10 + nd)
+    from clarabel_tpu.ipm import megakernel
+    from clarabel_tpu.cones.layout import ConeLayout
+
+    assert megakernel.eligible(ConeLayout(cones), Settings(), nx)
+    out = BatchSolver(cones, nx,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, nx, Settings()).solve(P, q, A, b)
+    assert np.all((out.status == SOLVED) | (out.status == ALMOST)), \
+        out.status
+    solved = out.status == SOLVED
+    assert solved.sum() >= B - 2
+    for i in np.nonzero(solved & (ref.status == SOLVED))[0]:
+        assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6 * (
+            1 + abs(ref.obj_val[i])), i
+        rp = np.linalg.norm(A[i] @ out.x[i] + out.s[i] - b[i])
+        rd = np.linalg.norm(P[i] @ out.x[i] + q[i] + A[i].T @ out.z[i])
+        assert rp < 1e-7 and rd < 1e-7, (i, rp, rd)
+        # PSD block of the slack must be positive semidefinite
+        t = nd * (nd + 1) // 2
+        sv = out.s[i][-t:]
+        M = np.zeros((nd, nd))
+        k = 0
+        for c in range(nd):
+            for r in range(c + 1):
+                v = sv[k] / (1.0 if r == c else np.sqrt(2.0))
+                M[r, c] = M[c, r] = v
+                k += 1
+        assert np.linalg.eigvalsh(M)[0] > -1e-8
+
+
+def test_psd_megakernel_with_zero_cone():
+    """Mixed zero + psd layout (equality-constrained SDP)."""
+    B = 16
+    nd = 2
+    P, q, A, b, cones, nx = _sdp_batch(B, nd, seed=77)
+    # replace the first bound row with an equality sum(x) = 0.5
+    A = np.concatenate([np.ones((B, 1, nx)), A[:, 1:]], axis=1)
+    b = np.concatenate([np.full((B, 1), 0.5), b[:, 1:]], axis=1)
+    cones = [ZeroConeT(1), NonnegativeConeT(2 * nx - 1),
+             PSDTriangleConeT(nd)]
+    out = BatchSolver(cones, nx,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, nx, Settings()).solve(P, q, A, b)
+    ok = np.isin(out.status, (SOLVED, ALMOST))
+    assert ok.all(), out.status
+    solved = out.status == SOLVED
+    assert solved.sum() >= B - 2
+    for i in np.nonzero(solved & (ref.status == SOLVED))[0]:
+        assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6 * (
+            1 + abs(ref.obj_val[i])), i
