@@ -46,11 +46,12 @@ import numpy as np
 BASELINE_ESTIMATE_SOLVES_PER_SEC = 2000.0  # generous native-CPU estimate
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 BATCH_MID = int(os.environ.get("BENCH_BATCH_MID", 16384))
-# one dispatch covers up to 64 blocks = 65,536 lanes (megakernel
-# _chunk_lanes); the largest single-dispatch batch amortizes the
-# tunnel's fixed costs best, and two dispatches at 131,072 amortize a
-# little further still (round 4: 77.3k at 65536, 79.6k at 131072 —
-# both chunks reuse the same compiled 64-block program)
+# round 5: dispatches are 8-block (8192-lane) chunks — probes overturned
+# the round-3 "no transfer/compute overlap" finding (a concurrent H2D
+# hides ~70% of a running kernel), so small chunks pipeline chunk k+1's
+# transfer under chunk k's kernel and the wall matches the
+# device-resident kernel rate (measured: 140.3k solves/s at B=65536 vs
+# 75.5k with monolithic 64-block dispatches; docs/PERF.md round 5)
 BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 65536))
 BATCH_XL = int(os.environ.get("BENCH_BATCH_XL", 131072))
 N = 6  # variables per instance
@@ -247,6 +248,38 @@ def main():
             "wall_s": round(dte, 3),
         }
 
+    # batched small-SDP config through the fused kernel (round-5
+    # megakernel extension: PSD-triangle cones with in-kernel NT
+    # scaling via one-sided Jacobi SVD; reference
+    # coneops_psdtrianglecone.jl:78-143)
+    psd_cfg = None
+    if mode == "mega":
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_megakernel_psd import _sdp_batch
+
+        Pp, qp, Ap, bp, psd_cones, nxp = _sdp_batch(BATCH, 3, seed=13)
+        ps_s = BatchSolver(psd_cones, nxp, settings)
+        ps_s.solve(Pp, qp, Ap, bp)  # warm
+        dtp, op = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            o_ = ps_s.solve(Pp, qp, Ap, bp)
+            d_ = time.perf_counter() - t0
+            if dtp is None or d_ < dtp:
+                dtp, op = d_, o_
+        ok_p = int(np.sum(op.status == int(SolverStatus.SOLVED)))
+        psd_cfg = {
+            "batch": BATCH,
+            "solves_per_sec": round(ok_p / dtp, 1),
+            "solved": ok_p,
+            "almost": int(np.sum(
+                op.status == int(SolverStatus.ALMOST_SOLVED))),
+            "wall_s": round(dtp, 3),
+        }
+
     # device-resident kernel rate (no tunnel, no rescue): the deployment
     # number for hosts with a local PCIe link
     kernel_rate = None
@@ -285,6 +318,7 @@ def main():
         "b_scaling": results,
         "qp_eq_zero_cone": qp_eq,
         "exp_cone_batched": exp_cfg,
+        "psd_cone_batched": psd_cfg,
         "kernel_solves_per_sec": kernel_rate,
         "baseline_solves_per_sec": base_rate,
         "baseline_measured_cpu_1core": (

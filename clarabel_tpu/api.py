@@ -536,6 +536,7 @@ class Solver:
 
         self._setup_time = time.perf_counter() - t0
         self._setup_done = True
+        self._dev_args = None   # device-resident warm-solve cache
         return self
 
     # ------------------------------------------------------------------
@@ -557,7 +558,20 @@ class Solver:
         elif self.settings.timing:
             out = self._solve_timed(args)
         else:
-            out = self._solve_fn(*args)
+            # warm re-solves reuse device-resident problem data: the
+            # H2D transfer of unchanged arrays costs a full tunnel
+            # latency floor per solve (~30 ms — the entire gap on
+            # 0-iteration warm solves like AUG2D, docs/PERF.md);
+            # update_data invalidates the cache (data_updating.py).
+            import jax as _jax
+
+            if getattr(self, "_dev_args", None) is None:
+                try:
+                    self._dev_args = tuple(
+                        _jax.device_put(a) for a in args)
+                except (TypeError, ValueError):
+                    self._dev_args = args  # scipy-sparse: leave host
+            out = self._solve_fn(*self._dev_args)
         # ONE batched fetch: per-field np.asarray pays a full
         # host<->device round trip each (~2-20 ms over the TPU tunnel
         # x ~18 fields; measured 439 ms total on a 0-iteration solve)

@@ -138,7 +138,15 @@ class SparseUpdateMaps:
         return self.a_vals[self.a_coo_from_sorted]
 
 
+def _invalidate_device_cache(solver):
+    """Warm re-solves keep the problem data device-resident
+    (api.Solver.solve); any data update must drop that cache so the
+    next solve re-transfers the mutated arrays."""
+    solver._dev_args = None
+
+
 def _check_update_allowed(solver):
+    _invalidate_device_cache(solver)
     """reference: src/data_updating.jl:149-158"""
     if solver.presolver is not None:
         raise ValueError("Data updates not allowed if presolver is active.")

@@ -704,65 +704,74 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                     L[i][j] = ar.zeros((S8, L128))
             return L, ok
 
-        def jacobi_eig(M, sweeps=None):
-            """Cyclic-Jacobi symmetric eigendecomposition for n <= 3:
-            returns (vals list, V with V[i][j] = i-th component of
-            eigenvector j).  Branch-free rotations vectorize over
-            lanes; ~5 sweeps reach the arithmetic's ulp (quadratic
-            convergence) with no clustered-eigenvalue pathology, unlike
-            closed-form eigenvector formulas."""
-            np_ = len(M)
-            if np_ == 1:
-                return [M[0][0]], [[ar.lift(jnp.ones((S8, L128),
-                                                     jnp.float32))]]
-            if sweeps is None:
-                sweeps = 5 if np_ == 3 else 3
-            A = [[M[i][j] for j in range(np_)] for i in range(np_)]
+        def jacobi_svd(A, sweeps=None):
+            """One-sided (Hestenes) Jacobi SVD for n <= 3: returns
+            (sigma list, U, V) with A = U diag(sigma) V'.  Rotations
+            orthogonalize COLUMN PAIRS of A itself, so accuracy
+            degrades with kappa(A) -- an eig of A'A would square the
+            conditioning and break down at sigma ratios ~1e7 in
+            double-float, exactly the NT-scaling endgame regime.
+            Branch-free, vectorizes over lanes; ~5 sweeps reach the
+            arithmetic's ulp (quadratic convergence)."""
+            np_ = len(A)
             one = ar.lift(jnp.ones((S8, L128), jnp.float32))
+            if np_ == 1:
+                s0 = ar.dabs(A[0][0])
+                s0 = ar.where(s0.hi > 0, s0, 1.0)
+                sgn0 = ar.where(A[0][0].hi >= 0, one, -one)
+                return [s0], [[sgn0]], [[one]]
+            if sweeps is None:
+                sweeps = 5 if np_ == 3 else 4
+            Ac = [[A[i][j] for j in range(np_)] for i in range(np_)]
             V = [[one if i == j else ar.zeros((S8, L128))
                   for j in range(np_)] for i in range(np_)]
             pairs = [(p, q) for q in range(1, np_) for p in range(q)]
             for _ in range(sweeps):
                 for (p, q) in pairs:
-                    apq = A[p][q]
-                    live = jnp.abs(apq.hi) > 0
-                    apq_s = ar.where(live, apq, 1.0)
-                    theta = (A[q][q] - A[p][p]) * ar.recip(
-                        apq_s * 2.0)
-                    sgn = jnp.where(theta.hi >= 0, np.float32(1.0),
+                    al = _vsum0(_vstack([Ac[i][p] * Ac[i][p]
+                                         for i in range(np_)]))
+                    be_ = _vsum0(_vstack([Ac[i][q] * Ac[i][q]
+                                          for i in range(np_)]))
+                    ga = _vsum0(_vstack([Ac[i][p] * Ac[i][q]
+                                         for i in range(np_)]))
+                    live = jnp.abs(ga.hi) > 0
+                    ga_s = ar.where(live, ga, 1.0)
+                    zeta = (be_ - al) * ar.recip(ga_s * 2.0)
+                    sgn = jnp.where(zeta.hi >= 0, np.float32(1.0),
                                     np.float32(-1.0))
                     t = ar.lift(sgn) * ar.recip(
-                        ar.dabs(theta)
-                        + ar.sqrt(theta * theta + 1.0))
+                        ar.dabs(zeta)
+                        + ar.sqrt(zeta * zeta + 1.0))
                     c = ar.recip(ar.sqrt(t * t + 1.0))
                     s_ = t * c
                     c = ar.where(live, c, 1.0)
                     s_ = ar.where(live, s_, ar.zeros((S8, L128)))
-                    app, aqq = A[p][p], A[q][q]
-                    A[p][p] = (c * c * app - (c * s_ * apq) * 2.0
-                               + s_ * s_ * aqq)
-                    A[q][q] = (s_ * s_ * app + (c * s_ * apq) * 2.0
-                               + c * c * aqq)
-                    A[p][q] = ar.zeros((S8, L128))
-                    A[q][p] = A[p][q]
-                    for r in range(np_):
-                        if r in (p, q):
-                            continue
-                        arp, arq = A[r][p], A[r][q]
-                        A[r][p] = c * arp - s_ * arq
-                        A[p][r] = A[r][p]
-                        A[r][q] = s_ * arp + c * arq
-                        A[q][r] = A[r][q]
-                    for r in range(np_):
-                        vrp, vrq = V[r][p], V[r][q]
-                        V[r][p] = c * vrp - s_ * vrq
-                        V[r][q] = s_ * vrp + c * vrq
-            return [A[i][i] for i in range(np_)], V
+                    for i in range(np_):
+                        aip, aiq = Ac[i][p], Ac[i][q]
+                        Ac[i][p] = c * aip - s_ * aiq
+                        Ac[i][q] = s_ * aip + c * aiq
+                        vip, viq = V[i][p], V[i][q]
+                        V[i][p] = c * vip - s_ * viq
+                        V[i][q] = s_ * vip + c * viq
+            sig, U = [], [[None] * np_ for _ in range(np_)]
+            for j in range(np_):
+                sj = ar.sqrt(_vsum0(_vstack(
+                    [Ac[i][j] * Ac[i][j] for i in range(np_)])))
+                sjc = ar.where(sj.hi > 0, sj, 1.0)
+                isj = ar.recip(sjc)
+                sig.append(sjc)
+                for i in range(np_):
+                    U[i][j] = Ac[i][j] * isj
+            return sig, U, V
 
         def psd_eigvals32(Mh):
-            """All eigenvalues (ascending list) of a symmetric f32
-            matrix (n <= 3) by the closed forms of
-            cones/psd._eigvalsh_sym (Smith 1961)."""
+            """All eigenvalues (list, no order guarantee beyond
+            near-diagonal convergence) of a symmetric f32 matrix
+            (n <= 3) by values-only cyclic Jacobi.  Trig-free: the
+            Smith (1961) closed form needs acos/cos, which Mosaic has
+            no TPU lowering for; branch-free rotations vectorize over
+            lanes and 4 sweeps reach f32 ulp.  Callers reduce with
+            min/sum, so ordering is irrelevant."""
             np_ = len(Mh)
             if np_ == 1:
                 return [Mh[0][0]]
@@ -772,28 +781,35 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 rad = jnp.sqrt(jnp.square(0.5 * (a - d))
                                + jnp.square(b))
                 return [mid - rad, mid + rad]
-            a, b, c = Mh[0][0], Mh[1][1], Mh[2][2]
-            d, e, f = Mh[0][1], Mh[1][2], Mh[0][2]
-            qm = (a + b + c) * np.float32(1.0 / 3.0)
-            p1 = jnp.square(d) + jnp.square(e) + jnp.square(f)
-            p2 = (jnp.square(a - qm) + jnp.square(b - qm)
-                  + jnp.square(c - qm) + 2.0 * p1)
-            p = jnp.sqrt(jnp.maximum(p2, 0.0) * np.float32(1.0 / 6.0))
-            pin = jnp.where(p > 0, p, 1.0)
-            A_, B_, C_ = (a - qm) / pin, (b - qm) / pin, (c - qm) / pin
-            D_, E_, F_ = d / pin, e / pin, f / pin
-            detB = (A_ * (B_ * C_ - E_ * E_)
-                    - D_ * (D_ * C_ - E_ * F_)
-                    + F_ * (D_ * E_ - B_ * F_))
-            r = jnp.clip(0.5 * detB, -1.0, 1.0)
-            phi = jnp.arccos(r) * np.float32(1.0 / 3.0)
-            e1 = qm + 2.0 * p * jnp.cos(phi)
-            e3 = qm + 2.0 * p * jnp.cos(
-                phi + np.float32(2.0 * np.pi / 3.0))
-            e2 = 3.0 * qm - e1 - e3
-            iso = p2 <= np.float32(np.finfo(np.float32).tiny)
-            return [jnp.where(iso, qm, e3), jnp.where(iso, qm, e2),
-                    jnp.where(iso, qm, e1)]
+            A = [[Mh[i2][j2] for j2 in range(3)] for i2 in range(3)]
+            for _ in range(4):
+                for (p, q2) in ((0, 1), (0, 2), (1, 2)):
+                    apq = A[p][q2]
+                    live = jnp.abs(apq) > 0
+                    apq_s = jnp.where(live, apq, 1.0)
+                    theta = (A[q2][q2] - A[p][p]) / (2.0 * apq_s)
+                    t = jnp.sign(theta) / (
+                        jnp.abs(theta)
+                        + jnp.sqrt(theta * theta + 1.0))
+                    t = jnp.where(theta == 0, 1.0, t)
+                    c = 1.0 / jnp.sqrt(t * t + 1.0)
+                    s_ = t * c
+                    c = jnp.where(live, c, 1.0)
+                    s_ = jnp.where(live, s_, 0.0)
+                    app, aqq = A[p][p], A[q2][q2]
+                    A[p][p] = (c * c * app - 2.0 * c * s_ * apq
+                               + s_ * s_ * aqq)
+                    A[q2][q2] = (s_ * s_ * app + 2.0 * c * s_ * apq
+                                 + c * c * aqq)
+                    A[p][q2] = jnp.zeros((S8, L128), jnp.float32)
+                    A[q2][p] = A[p][q2]
+                    r = 3 - p - q2
+                    arp, arq = A[r][p], A[r][q2]
+                    A[r][p] = c * arp - s_ * arq
+                    A[p][r] = A[r][p]
+                    A[r][q2] = s_ * arp + c * arq
+                    A[q2][r] = A[r][q2]
+            return [A[0][0], A[1][1], A[2][2]]
 
         def psd_logdet32(Mh):
             """(logdet, ok) of a symmetric f32 matrix via closed-form
@@ -1400,37 +1416,35 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                                   "Hs": Hs, "F": Fc, "z": Z3})
                     continue
                 if kind == "psd":
-                    # NT scaling via chol(S), chol(Z), eig of AᵀA with
-                    # A = L2ᵀL1 (A = UΣVᵀ -> AᵀA = VΣ²Vᵀ; U = AVΣ⁻¹),
-                    # reference coneops_psdtrianglecone.jl:78-143;
-                    # mirrors cones/psd.update_scaling with the SVD
-                    # replaced by the lane-batched Jacobi eig.
+                    # NT scaling via chol(S), chol(Z), one-sided Jacobi
+                    # SVD of A = L2ᵀL1 = UΛVᵀ; R = L1VΛ^{-1/2},
+                    # Rinv = Λ^{-1/2}UᵀL2ᵀ (reference
+                    # coneops_psdtrianglecone.jl:78-143; mirrors
+                    # cones/psd.update_scaling with LAPACK's SVD
+                    # replaced by the lane-batched Hestenes sweep).
+                    # Breakdown of the S/Z chols is NON-FATAL (clamped
+                    # pivots + true-residual checks, same argument as
+                    # the nonsym chol3 — docs/DEVIATIONS.md #16); only
+                    # non-finite state is.
                     np_ = seg_alphas[seg_i]
                     Sm = psd_unpack(sg, np_)
                     Zm = psd_unpack(zg, np_)
-                    L1, ok1 = mat_chol(Sm)
-                    L2, ok2 = mat_chol(Zm)
+                    L1, _ok1 = mat_chol(Sm)
+                    L2, _ok2 = mat_chol(Zm)
                     A3 = mat_mm(mat_T(L2), L1)
-                    lam2, V = jacobi_eig(mat_mm(mat_T(A3), A3))
-                    okl = functools.reduce(
-                        jnp.logical_and, [l.hi > 0 for l in lam2])
-                    lam = [ar.sqrt(ar.dmax(l, 0.0)) for l in lam2]
-                    lam = [ar.where(l.hi > 0, l, 1.0) for l in lam]
-                    ilam = [ar.recip(l) for l in lam]
+                    lam, U, V = jacobi_svd(A3)
                     lam_isqrt = [ar.recip(ar.sqrt(l)) for l in lam]
                     L1V = mat_mm(L1, V)
                     Rm = [[L1V[i2][j2] * lam_isqrt[j2]
                            for j2 in range(np_)] for i2 in range(np_)]
-                    # Rinv = Λ^{-1/2}UᵀL2ᵀ = Λ^{-3/2}Vᵀ(L1ᵀZ)
-                    Tm = mat_mm(mat_T(L1), Zm)
-                    VtT = mat_mm(mat_T(V), Tm)
-                    Rinv = [[VtT[i2][j2] * (lam_isqrt[i2] * ilam[i2])
+                    UtL2t = mat_mm(mat_T(U), mat_T(L2))
+                    Rinv = [[UtL2t[i2][j2] * lam_isqrt[i2]
                              for j2 in range(np_)] for i2 in range(np_)]
                     fin = functools.reduce(jnp.logical_and, [
-                        jnp.isfinite(Rm[i2][j2].hi)
+                        jnp.logical_and(jnp.isfinite(Rm[i2][j2].hi),
+                                        jnp.isfinite(Rinv[i2][j2].hi))
                         for i2 in range(np_) for j2 in range(np_)])
-                    ok = functools.reduce(jnp.logical_and,
-                                          [ok, ok1, ok2, okl, fin])
+                    ok = jnp.logical_and(ok, fin)
                     state.append({"kind": "psd", "R": Rm,
                                   "Rinv": Rinv, "lam": lam,
                                   "np": np_})
@@ -2122,7 +2136,8 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                                * li32[i2] * li32[j2]
                                for j2 in range(np_)]
                               for i2 in range(np_)]
-                        gmin = psd_eigvals32(Ms)[0]
+                        gmin = functools.reduce(jnp.minimum,
+                                                psd_eigvals32(Ms))
                         return jnp.where(
                             gmin < 0,
                             1.0 / jnp.maximum(-gmin, np.float32(1e-30)),
@@ -3516,6 +3531,12 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
                 jax.ShapeDtypeStruct((OUTD, G * S8, L128), jnp.float32),
                 jax.ShapeDtypeStruct((2, G * S8, L128), jnp.int32),
             ],
+            # the triple-float residual path (round 5) raises the
+            # kernel's scoped-VMEM stack high-water past Mosaic's 16 MB
+            # default on some shapes; v5e has 128 MB of VMEM per core —
+            # allow the kernel the 32 MB its eligibility budget assumes
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
         )
 
@@ -3659,25 +3680,30 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
             return arr[:1]
         return arr
 
-    # lanes per dispatch.  The tunnel serializes transfers with compute
-    # (measured: no overlap, docs/PERF.md), so fewer, larger dispatches
-    # win — each extra dispatch pays the per-transfer latency floor
-    # again.  The cap is a per-dispatch BYTE budget, not a flat block
-    # count: at the bench shape (n=6, m=13, A batch-constant) a lane's
-    # packed input is ~320 B and 64 blocks ≈ 100 MB, but at the
-    # eligibility cap (n=32, m=96, fully varying batch) a lane packs
-    # ~30 KB and a flat 64-block dispatch would stage ~2 GB of split-f32
-    # inputs — plus kernel state and chunk outputs held until
-    # device_get.  _chunk_lanes() sizes the dispatch from the actual
-    # packed width, rounded to a power-of-two block count so chunk
-    # shapes (and their compiled programs) stay few.
-    CHUNK_MAX_BLOCKS = 64
+    # lanes per dispatch.  Round-5 probes overturned the round-3 "no
+    # transfer/compute overlap" finding: a concurrent H2D hides ~70% of
+    # a running kernel's time, so SMALL chunks that pipeline chunk
+    # k+1's transfer under chunk k's kernel win decisively — measured
+    # at B=65536 on the bench shape: 8-block chunks 140.3k solves/s vs
+    # 64-block 75.5k (the wall now matches the device-resident kernel
+    # rate; the pipeline is kernel-bound).  The byte budget still caps
+    # dispatch staging for large shapes; CLARABEL_MEGA_CHUNK_BLOCKS
+    # overrides for measurement.
+    CHUNK_MAX_BLOCKS = 8
     CHUNK_BYTE_BUDGET = 1 << 30  # ~1 GB staged per dispatch
     # inputs (split f32 pair = 8 B/value) + in-kernel state + packed
     # outputs retained across chunks, conservatively 4x the input bytes
     CHUNK_WORK_FACTOR = 4
 
     def _chunk_lanes(packed_width):
+        ov = int(_os.environ.get("CLARABEL_MEGA_CHUNK_BLOCKS", "0"))
+        if ov > 0:
+            # measurement override: round-5 probes show PARTIAL
+            # transfer/compute overlap through the tunnel (~70% of
+            # kernel time hides under a concurrent H2D), so smaller
+            # chunks can pipeline chunk k+1's transfer under chunk k's
+            # kernel — sweep with bench to pick the deployment value
+            return min(ov, 64) * BLOCK
         lane_bytes = max(packed_width, 1) * 8 * CHUNK_WORK_FACTOR
         blocks = max(1, CHUNK_BYTE_BUDGET // (lane_bytes * BLOCK))
         blocks = 1 << min(int(blocks).bit_length() - 1,

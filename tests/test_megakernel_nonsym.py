@@ -112,7 +112,13 @@ def _compare(data, solvers, atol=1e-6, max_almost=2):
         rd = np.linalg.norm(P[i] @ out.x[i] + q[i] + A[i].T @ out.z[i])
         assert rp < 1e-7 and rd < 1e-7, (rp, rd)
         assert abs(out.s[i] @ out.z[i]) < 1e-6
-        assert abs(int(out.iterations[i]) - int(ref.iterations[i])) <= 4
+        # trajectory proximity: catches gross divergence only.  Bound
+        # widened 4 -> 8 in round 5: with scaling-chol breakdown made
+        # non-fatal (docs/DEVIATIONS.md #16) a marginal lane may spend
+        # a few extra clamped-factor iterations converging where the
+        # loop solver (or the old kernel) stopped early — the lane now
+        # reaches SOLVED, which the KKT checks above verify strictly.
+        assert abs(int(out.iterations[i]) - int(ref.iterations[i])) <= 8
     return ref, out
 
 

@@ -41,12 +41,21 @@ def _exp_batch(B, seed=0):
     return P, q, A, b, [NonnegativeConeT(2), ExponentialConeT()], n
 
 
-def _check(out, ref, P, q, A, b, max_almost):
+def _check(out, ref, P, q, A, b, slack=2):
+    """Parity bar (round 5): the fused kernel must certify at least as
+    many lanes SOLVED as the native-f64 XLA loop on the same batch
+    (minus a small rounding-wobble slack).  The residual ALMOST tail is
+    ALGORITHMIC, not a kernel-precision deficit — measured round 5: the
+    f64 loop reproduces it (exp 1024-lane config: kernel 998 solved vs
+    loop 987; genpow lane-for-lane identical) — so a fixed 25%-style
+    allowance is no longer needed."""
     B = len(q)
     assert np.all((out.status == SOLVED) | (out.status == ALMOST)), \
         out.status
     solved = out.status == SOLVED
-    assert solved.sum() >= B - max_almost
+    ref_solved = int(np.sum(ref.status == SOLVED))
+    assert solved.sum() >= ref_solved - slack, (
+        f"kernel solved {solved.sum()} < loop {ref_solved} - {slack}")
     for i in np.nonzero(solved)[0]:
         if ref.status[i] == SOLVED:
             assert abs(out.obj_val[i] - ref.obj_val[i]) < 1e-6
@@ -65,7 +74,7 @@ def test_exp_megakernel_on_tpu():
                       Settings(kkt_backend="megakernel")).solve(
                           P, q, A, b)
     ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
-    _check(out, ref, P, q, A, b, max_almost=B // 4)
+    _check(out, ref, P, q, A, b)
 
 
 def test_mixed_exp_pow_megakernel_on_tpu():
@@ -97,12 +106,7 @@ def test_mixed_exp_pow_megakernel_on_tpu():
                       Settings(kkt_backend="megakernel")).solve(
                           P, q, A, b)
     ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
-    # TWO nonsymmetric cones per instance compound the per-cone
-    # marginal-lane probability (~1-(1-p)^2 for p ~ 0.15-0.2), so the
-    # float-float ALMOST allowance is wider than the single-cone tests
-    # (measured ~30% on hardware; every ALMOST lane still meets the
-    # reduced tolerances and the rescue pass closes them)
-    _check(out, ref, P, q, A, b, max_almost=(2 * B) // 5)
+    _check(out, ref, P, q, A, b)
 
 
 def test_genpow_megakernel_on_tpu():
@@ -174,4 +178,25 @@ def test_pow_megakernel_on_tpu():
                       Settings(kkt_backend="megakernel")).solve(
                           P, q, A, b)
     ref = BatchSolver(cones, n, Settings()).solve(P, q, A, b)
-    _check(out, ref, P, q, A, b, max_almost=B // 4)
+    _check(out, ref, P, q, A, b)
+
+
+def test_psd_megakernel_on_tpu():
+    """PSD-triangle cones (side 3) through Mosaic (round-5 extension):
+    in-kernel closed-form chol + lane-batched Jacobi NT eig, skron Hs,
+    eig step lengths (reference coneops_psdtrianglecone.jl:78-143)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from test_megakernel_psd import _sdp_batch
+    from clarabel_tpu import PSDTriangleConeT  # noqa: F401
+
+    B = 64
+    P, q, A, b, cones, nx = _sdp_batch(B, 3, seed=21)
+    out = BatchSolver(cones, nx,
+                      Settings(kkt_backend="megakernel")).solve(
+                          P, q, A, b)
+    ref = BatchSolver(cones, nx, Settings()).solve(P, q, A, b)
+    _check(out, ref, P, q, A, b)
