@@ -51,8 +51,12 @@ def mega_solver():
 def test_eligibility():
     st = Settings()
     assert megakernel.eligible(ConeLayout(CONES), st, N)
-    assert not megakernel.eligible(
+    # round 5: PSD sides <= 3 ARE eligible (in-kernel NT scaling via
+    # one-sided Jacobi SVD); larger sides stay out
+    assert megakernel.eligible(
         ConeLayout([PSDTriangleConeT(2)]), st, 2)
+    assert not megakernel.eligible(
+        ConeLayout([PSDTriangleConeT(4)]), st, 4)
     assert not megakernel.eligible(
         ConeLayout(CONES), Settings(dtype="float32"), N)
     assert not megakernel.eligible(

@@ -55,6 +55,18 @@ def _sdp_batch(B, nd, seed=0):
 
 @pytest.mark.parametrize("nd", [2, 3])
 def test_psd_megakernel_matches_loop(nd):
+    import os
+
+    if nd == 3 and not os.environ.get("CLARABEL_SLOW_CPU_TESTS"):
+        # XLA:CPU's AOT (fusion-disabled) compile of the side-3 PSD
+        # block function is pathological (>25 min; the same class as
+        # the mixed exp+pow body excluded from the CPU tier —
+        # tests_tpu/test_tpu_nonsym.py docstring).  Mosaic compiles it
+        # in ~100 s and tests_tpu::test_psd_megakernel_on_tpu covers
+        # side 3 on hardware; CPU CI keeps side 2 + the zero-cone mix.
+        pytest.skip("side-3 PSD CPU compile is pathological; "
+                    "covered by the TPU tier "
+                    "(set CLARABEL_SLOW_CPU_TESTS=1 to run)")
     B = 32
     P, q, A, b, cones, nx = _sdp_batch(B, nd, seed=10 + nd)
     from clarabel_tpu.ipm import megakernel
