@@ -3695,19 +3695,26 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
     # outputs retained across chunks, conservatively 4x the input bytes
     CHUNK_WORK_FACTOR = 4
 
-    def _chunk_lanes(packed_width):
+    def _chunk_lanes(packed_width, total_lanes=None):
         ov = int(_os.environ.get("CLARABEL_MEGA_CHUNK_BLOCKS", "0"))
         if ov > 0:
-            # measurement override: round-5 probes show PARTIAL
-            # transfer/compute overlap through the tunnel (~70% of
-            # kernel time hides under a concurrent H2D), so smaller
-            # chunks can pipeline chunk k+1's transfer under chunk k's
-            # kernel — sweep with bench to pick the deployment value
+            # measurement override (CLARABEL_MEGA_CHUNK_BLOCKS)
             return min(ov, 64) * BLOCK
         lane_bytes = max(packed_width, 1) * 8 * CHUNK_WORK_FACTOR
         blocks = max(1, CHUNK_BYTE_BUDGET // (lane_bytes * BLOCK))
         blocks = 1 << min(int(blocks).bit_length() - 1,
                           CHUNK_MAX_BLOCKS.bit_length() - 1)
+        if total_lanes is not None:
+            # batch-aware pipelining (measured sweep, bench shape):
+            # the optimal chunk grows with B — 2 blocks up to ~16k
+            # lanes (B=4096: 65.4k solves/s at 2 blocks vs 62.2k at
+            # one 4-block dispatch; B=16384: 130.7k vs 98.7k), 8
+            # blocks from ~65k lanes up (B=131072: 157.0k at 8 vs
+            # 131.1k at 2 — tiny chunks pay per-dispatch overhead
+            # once there are dozens of them)
+            want = max(2, min(blocks, total_lanes // (8 * BLOCK)))
+            want = 1 << (want.bit_length() - 1)   # round down to 2^k
+            blocks = min(blocks, want)
         return blocks * BLOCK
 
     def prepare(P, q, A, b):
@@ -3763,7 +3770,7 @@ def build_mega_solve(layout: ConeLayout, settings, n: int,
 
     def solve(P, q, A, b):
         B, Bp, packed, shared = prepare(P, q, A, b)
-        CHUNK = _chunk_lanes(packed.shape[1])
+        CHUNK = _chunk_lanes(packed.shape[1], total_lanes=Bp)
         if Bp <= CHUNK:
             outs = [_solve_padded(packed, *shared)]
         else:
